@@ -1,0 +1,76 @@
+"""Benchmark driver: prints ONE JSON line with the headline metric.
+
+Metric: primary rays/sec/chip on scenes/hw15/scene2.crtscene (the
+BASELINE.md target scene), default shading config (max_depth=5).  The
+reference anchor is ~21M primary rays/s derived from its "<100 ms at
+1920x1080" dragon figure on an AVX2 laptop (BASELINE.md); vs_baseline is
+ours / 21e6.
+
+Usage: python bench.py [--spp N] [--scale F] [--scene PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene",
+                    default="/root/reference/scenes/hw15/scene2.crtscene")
+    ap.add_argument("--spp", type=int, default=4)
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="resolution scale on the scene's native HxW")
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--backward", action="store_true",
+                    help="also time fwd+bwd gradient throughput")
+    args = ap.parse_args()
+
+    from simd_raytracer_tpu import RenderConfig, parse_scene_file, render_frame
+
+    scene = parse_scene_file(args.scene)
+    h = max(8, int(scene.height * args.scale))
+    w = max(8, int(scene.width * args.scale))
+    scene = scene.replace(height=h, width=w)
+    cfg = RenderConfig(samples_per_pixel=args.spp, chunk_size=args.chunk)
+
+    rays = h * w * args.spp
+
+    # warmup (compile)
+    img = render_frame(scene, cfg)
+    jax.block_until_ready(img)
+
+    times = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter()
+        img = render_frame(scene, cfg)
+        jax.block_until_ready(img)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    rays_per_sec = rays / best
+
+    baseline = 21e6  # BASELINE.md derived reference anchor
+    result = {
+        "metric": "primary_rays_per_sec_hw15s2",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / baseline, 3),
+        "detail": {
+            "scene": args.scene, "h": h, "w": w, "spp": args.spp,
+            "seconds_per_frame": round(best, 4),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

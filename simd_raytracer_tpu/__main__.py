@@ -1,0 +1,60 @@
+"""CLI driver — parity with the reference binary (reference:
+src/main.cpp:27-46): `python -m simd_raytracer_tpu SCENE.crtscene` renders
+the scene and writes image.ppm, printing the render wall time.  Extra flags
+expose what the reference hardcodes as constexpr (config.hpp:6-17).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(
+        prog="simd_raytracer_tpu",
+        description="TPU-native differentiable path tracer")
+    ap.add_argument("scene", help=".crtscene file")
+    ap.add_argument("-o", "--output", default="image.ppm")
+    ap.add_argument("--spp", type=int, default=1)
+    ap.add_argument("--max-depth", type=int, default=5)
+    ap.add_argument("--gi-rays", type=int, default=0,
+                    help="diffuse_reflection_ray_count")
+    ap.add_argument("--fov", type=float, default=90.0)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--width", type=int, default=None,
+                    help="override scene width")
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--intersector", default="jnp",
+                    choices=["jnp", "pallas", "kdtree"])
+    args = ap.parse_args(argv)
+
+    from simd_raytracer_tpu import (RenderConfig, parse_scene_file,
+                                    render_frame, save_ppm)
+
+    scene = parse_scene_file(args.scene)
+    if args.width or args.height:
+        scene = scene.replace(width=args.width or scene.width,
+                              height=args.height or scene.height)
+    cfg = RenderConfig(
+        samples_per_pixel=args.spp, max_ray_depth=args.max_depth,
+        diffuse_reflection_ray_count=args.gi_rays, fov_degrees=args.fov,
+        rng_seed=args.seed, chunk_size=args.chunk,
+        intersector=args.intersector)
+
+    import jax
+    t0 = time.perf_counter()
+    img = render_frame(scene, cfg)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    print(f"Rendering took {dt} seconds.")
+
+    import numpy as np
+    save_ppm(np.asarray(img), args.output)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

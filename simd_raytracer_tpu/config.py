@@ -1,0 +1,70 @@
+"""Render configuration.
+
+TPU-native counterpart of the reference's compile-time constants
+(reference: include/raytracer/config.hpp:6-17).  In the reference every knob
+is a `constexpr` baked into the binary; here they are fields of a frozen
+dataclass whose values become jit-constants when the render function is
+traced, which gives the same "free" constant folding without recompiling the
+world by hand.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (all become XLA compile-time constants).
+
+    Defaults mirror reference config.hpp:6-17 exactly.
+    """
+
+    fov_degrees: float = 90.0
+    epsilon: float = 1e-6
+    shadow_bias: float = 1e-4
+    reflection_bias: float = 1e-4
+    refraction_bias: float = 1e-4
+
+    samples_per_pixel: int = 1
+    max_ray_depth: int = 5
+    diffuse_reflection_ray_count: int = 0
+
+    # Fixed seed 42 matches reference config.hpp:17; None -> draw from OS.
+    rng_seed: Optional[int] = 42
+
+    # --- TPU-specific execution knobs (no reference counterpart) ---
+    # Primary rays are processed in chunks of this many (pixel, sample)
+    # pairs; the moral equivalent of the reference's bucket scheduler
+    # (reference: render/tile/bucket.hpp) restructured for static XLA shapes.
+    chunk_size: int = 16384
+    # Shadow-ray semantics: "fast" resolves occlusion with a single
+    # intersect that ignores transmissive triangles; "march" replicates the
+    # reference's iterative re-origined marching (render/render.hpp:110-131)
+    # up to `max_shadow_march` hops.
+    occlusion_mode: str = "fast"
+    max_shadow_march: int = 8
+    # Intersection backend: "jnp" (pure-XLA fused brute force), "pallas"
+    # (hand-written VPU kernel), or "kdtree" (flattened-tree traversal).
+    intersector: str = "jnp"
+
+    def __post_init__(self):
+        if self.occlusion_mode not in ("fast", "march"):
+            raise ValueError(f"bad occlusion_mode {self.occlusion_mode!r}")
+        if self.intersector not in ("jnp", "pallas", "kdtree"):
+            raise ValueError(f"bad intersector {self.intersector!r}")
+
+    @property
+    def child_slots(self) -> int:
+        """Max secondary rays a single ray can spawn in one bounce.
+
+        Refractive spawns 2 (reflection + refraction, render.hpp:278-301);
+        diffuse spawns `diffuse_reflection_ray_count` GI rays
+        (render.hpp:151-182).  The same ray has one material, so the slot
+        count is the max of the two.
+        """
+        return max(2, self.diffuse_reflection_ray_count)
+
+
+DEFAULT_CONFIG = RenderConfig()

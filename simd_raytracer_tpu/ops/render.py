@@ -1,0 +1,131 @@
+"""Frame rendering: chunked wavefront path tracing.
+
+The reference renders by draining a mutex-protected queue of pixel tiles
+with a jthread pool (reference: include/raytracer/render/render.hpp:79-105,
+render/tile/bucket.hpp:7-21).  The TPU-native equivalent is static
+decomposition: (pixel, sample) pairs are flattened into one ray-id axis,
+cut into fixed-size chunks (static shapes for XLA), and each chunk runs the
+full bounce loop as one fused program via lax.map — and, when sharded, the
+chunk axis is split across the device mesh with the scene replicated
+(see parallel/sharding.py).
+
+Per chunk, the bounce loop is unrolled max_ray_depth+1 times with the ray
+buffer widening by the child-slot factor K each bounce; the contribution of
+bounce d folds back to its primary ray by a reshape-sum (children of ray r
+occupy the contiguous block [r*K^d, (r+1)*K^d)), which replaces scatter
+with a dense reduction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..models.camera import primary_rays
+from ..models.scene import Geometry, Scene, derive_geometry
+from .intersect import trace
+from .shade import shade
+
+
+def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
+                 ray_ids: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    """Render one chunk of (pixel, sample) ray ids -> (R0, 3) colors.
+
+    ray_ids are global ids in [0, H*W*spp); ids >= total are padding and
+    contribute zero.  Output is the per-ray color (the caller averages spp
+    groups, render.hpp:72).
+    """
+    r0 = ray_ids.shape[0]
+    spp = cfg.samples_per_pixel
+    h, w = scene.height, scene.width
+    total = h * w * spp
+    dtype = scene.vertices.dtype
+
+    valid = ray_ids < total
+    ids = jnp.minimum(ray_ids, total - 1)
+    pix = ids // spp
+    pix_y = pix // w
+    pix_x = pix % w
+
+    if spp == 1:
+        # Centered samples (render.hpp:39-41).
+        jx = jnp.full((r0,), 0.5, dtype)
+        jy = jx
+    else:
+        jit_key = jax.random.fold_in(key, 0)
+        jxy = jax.random.uniform(jit_key, (r0, 2), dtype)
+        jx, jy = jxy[:, 0], jxy[:, 1]
+
+    o, d = primary_rays(scene, cfg.fov_degrees, pix_x, pix_y, jx, jy)
+    weight = valid.astype(dtype)
+    miss_bg = jnp.ones((r0,), bool)   # primary miss -> background
+    accum = jnp.zeros((r0, 3), dtype)
+    bg = scene.background
+
+    for depth in range(cfg.max_ray_depth + 1):
+        hit = trace(o, d, scene, geom, cfg.epsilon, cull=(depth == 0),
+                    intersector=cfg.intersector)
+        live_w = weight
+        miss_term = live_w * (~hit.mask & miss_bg)
+        contrib = miss_term[:, None] * bg
+        if depth == cfg.max_ray_depth:
+            # Depth cutoff returns background (render.hpp:138-139).
+            contrib = contrib + (live_w * hit.mask)[:, None] * bg
+            accum = accum + contrib.reshape(r0, -1, 3).sum(axis=1)
+            break
+        bounce_key = jax.random.fold_in(key, depth + 1)
+        shade_contrib, (o, d, weight, miss_bg) = shade(
+            scene, geom, hit, d, weight, cfg, bounce_key)
+        contrib = contrib + shade_contrib
+        accum = accum + contrib.reshape(r0, -1, 3).sum(axis=1)
+
+    return accum
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_ids(scene: Scene, cfg: RenderConfig,
+                ids: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
+    """jit entry: ids (C, R0), keys (C,) -> colors (C, R0, 3)."""
+    geom = derive_geometry(scene)
+
+    def one(args):
+        chunk_ids, chunk_key = args
+        return render_chunk(scene, geom, cfg, chunk_ids, chunk_key)
+
+    return jax.lax.map(one, (ids, keys))
+
+
+def make_ray_chunks(scene: Scene, cfg: RenderConfig):
+    """Host-side: (C, R0) int32 ray-id array covering H*W*spp, padded."""
+    total = scene.height * scene.width * cfg.samples_per_pixel
+    r0 = cfg.chunk_size
+    c = -(-total // r0)
+    ids = np.arange(c * r0, dtype=np.int32).reshape(c, r0)
+    return ids
+
+
+def render_frame(scene: Scene, cfg: RenderConfig = RenderConfig(),
+                 key: Optional[jax.Array] = None) -> jnp.ndarray:
+    """Full-frame render -> (H, W, 3) float32 (linear color).
+
+    Equivalent of render_frame (render.hpp:18-108): camera rays for every
+    (pixel, sample), wavefront bounce loop, spp average.
+    """
+    if key is None:
+        seed = cfg.rng_seed if cfg.rng_seed is not None else 0
+        key = jax.random.PRNGKey(seed)
+    spp = cfg.samples_per_pixel
+    h, w = scene.height, scene.width
+    total = h * w * spp
+
+    ids = jnp.asarray(make_ray_chunks(scene, cfg))
+    keys = jax.random.split(key, ids.shape[0])
+    colors = _render_ids(scene, cfg, ids, keys)
+    flat = colors.reshape(-1, 3)[:total]
+    img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
+    return img.reshape(h, w, 3)

@@ -1,0 +1,266 @@
+"""Wavefront shading: the reference's recursive Whitted+GI shader
+restructured as one iterative, branchless bounce step.
+
+The reference shader (reference: include/raytracer/render/render.hpp:133-308)
+is a recursive std::visit over five material variants.  Its recursion is
+*linear* in the child colors: every material's output is
+`direct_term + sum_i w_i * color(child_i)` —
+  diffuse:    (sum GI children + direct lighting) / (N_gi + 1)
+  texture:    direct lighting with sampled color
+  reflective: color(mirror child), background on miss
+  refractive: fresnel*color(reflection) + (1-fresnel)*color(refraction)
+  constant:   albedo
+so it unrolls exactly into a wavefront: each ray carries a scalar
+throughput `weight` and a `miss_is_bg` flag; hits emit direct contributions
+immediately and spawn up to K children with scaled weights.  One bounce of
+every ray is a single fused XLA program — the idiomatic TPU replacement for
+CPU recursion + std::optional control flow.
+
+Shadow rays replicate is_occluded (render.hpp:110-131): `fast` mode
+resolves occlusion with a single closest-hit query that ignores
+transmissive (refractive) triangles — equivalent up to the reference's
+accumulated shadow_bias re-origining — while `march` mode reproduces the
+iterative re-origined marching hop by hop.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..models.scene import (Geometry, MAT_CONSTANT, MAT_DIFFUSE,
+                            MAT_REFLECTIVE, MAT_REFRACTIVE, MAT_TEXTURE,
+                            Scene)
+from ..models.textures import sample_texture
+from .intersect import HitRecord, make_select_fn, mt_refine, trace
+
+FOUR_PI = 4.0 * math.pi
+
+
+def _dot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _safe_normalize(v):
+    # rsqrt-with-clamp keeps the backward pass NaN-free when v == 0
+    # (zero-length `perp` at normal incidence, degenerate normals); see
+    # the same-named helper in models/scene.py.
+    sq = jnp.sum(v * v, axis=-1, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(sq, 1e-18))
+
+
+def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
+             scene: Scene, geom: Geometry, cfg: RenderConfig) -> jnp.ndarray:
+    """Batched is_occluded (render.hpp:110-131). o,d (N,3); max_t (N,).
+
+    Occlusion is a discrete visibility predicate — no gradients flow
+    (consistent with treating visibility as piecewise constant).
+    """
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    max_t = jax.lax.stop_gradient(max_t)
+    eps = cfg.epsilon
+    select = make_select_fn(cfg.intersector)
+
+    if cfg.occlusion_mode == "fast":
+        # Transmissive surfaces never occlude and only re-originate the
+        # march past themselves, so the first *non-transmissive* hit decides.
+        mask = geom.tri_valid & ~geom.tri_transmissive
+        idx, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False, mask)
+        t, _, _ = mt_refine(o, d, geom.v0[idx], geom.e1[idx], geom.e2[idx])
+        return hit & (t <= max_t)
+
+    # "march": faithful iterative replication.
+    def cond(state):
+        i, _o, _mt, _occ, undecided = state
+        return (i < cfg.max_shadow_march) & jnp.any(undecided)
+
+    def body(state):
+        i, o_cur, mt_cur, occ, undecided = state
+        idx, hit = select(o_cur, d, geom.v0, geom.e1, geom.e2,
+                          eps, False, geom.tri_valid)
+        t, _, _ = mt_refine(o_cur, d, geom.v0[idx], geom.e1[idx],
+                            geom.e2[idx])
+        transmissive = geom.tri_transmissive[idx]
+        within = hit & (t <= mt_cur)
+        occ_now = undecided & within & ~transmissive
+        cont = undecided & within & transmissive
+        pos = o_cur + t[:, None] * d
+        o_next = jnp.where(cont[:, None],
+                           pos + cfg.shadow_bias * d, o_cur)
+        mt_next = jnp.where(cont, mt_cur - t, mt_cur)
+        # Loop guard `while (0 < max_t)` (render.hpp:115).
+        undecided_next = cont & (mt_next > 0.0)
+        return i + 1, o_next, mt_next, occ | occ_now, undecided_next
+
+    init = (jnp.int32(0), o, max_t,
+            jnp.zeros(o.shape[0], bool), jnp.ones(o.shape[0], bool))
+    _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
+    return occ
+
+
+def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
+                        cfg: RenderConfig) -> jnp.ndarray:
+    """Sum over lights of  visibility * intensity/(4*pi*r^2) * cos_law.
+
+    Replicates the per-light loop shared by diffuse and texture materials
+    (render.hpp:184-206 / :213-237): inverse-square-sphere falloff, cosine
+    against the smooth or face normal per material.smooth_shading, shadow
+    ray from position + shadow_bias*light_dir with max_t = r.
+    Returns the scalar factor (N,); the caller multiplies by albedo or the
+    texture sample.
+    """
+    n_rays = hit.position.shape[0]
+    nl = scene.light_pos.shape[0]
+
+    ldir_un = scene.light_pos[None, :, :] - hit.position[:, None, :]  # (N,L)3
+    r = jnp.sqrt(jnp.maximum(jnp.sum(ldir_un * ldir_un, axis=-1), 1e-24))
+    ldir = ldir_un / r[..., None]
+    area = FOUR_PI * r * r
+
+    shade_n = jnp.where(hit.smooth[:, None], hit.hit_n, hit.face_n)
+    cos_law = jnp.maximum(0.0, _dot(ldir, shade_n[:, None, :]))       # (N,L)
+
+    shadow_o = hit.position[:, None, :] + cfg.shadow_bias * ldir
+    occ = occluded(shadow_o.reshape(-1, 3), ldir.reshape(-1, 3),
+                   r.reshape(-1), scene, geom, cfg).reshape(n_rays, nl)
+
+    falloff = scene.light_intensity[None, :] / jnp.maximum(area, 1e-20)
+    return jnp.sum(jnp.where(occ, 0.0, falloff * cos_law), axis=-1)
+
+
+def shade(scene: Scene, geom: Geometry, hit: HitRecord,
+          d_in: jnp.ndarray, weight: jnp.ndarray,
+          cfg: RenderConfig, key: jax.Array,
+          ) -> Tuple[jnp.ndarray, Tuple]:
+    """One wavefront bounce of shading.
+
+    Inputs: hit records for N rays (mask=False rays ignored), incoming
+    directions d_in (N,3), throughput weight (N,) already zeroed for dead
+    rays.  Returns (contrib (N,3),
+    children = (o' (N*K,3), d' (N*K,3), weight' (N*K,), miss_bg' (N*K,))).
+    """
+    n = d_in.shape[0]
+    k = cfg.child_slots
+    gi_count = cfg.diffuse_reflection_ray_count
+
+    live = weight * hit.mask.astype(weight.dtype)    # (N,) throughput of hits
+    tag = hit.mat_tag
+    is_diffuse = tag == MAT_DIFFUSE
+    is_reflective = tag == MAT_REFLECTIVE
+    is_refractive = tag == MAT_REFRACTIVE
+    is_constant = tag == MAT_CONSTANT
+    is_texture = tag == MAT_TEXTURE
+
+    # ---- direct contributions --------------------------------------
+    lit = is_diffuse | is_texture
+    factor = direct_light_factor(scene, geom, hit, cfg)
+    factor = jnp.where(lit, factor, 0.0)
+    tex_color = sample_texture(scene, hit.tex, hit.u, hit.v, hit.w, hit.uvs)
+    surf_color = jnp.where(is_texture[:, None], tex_color, hit.albedo)
+    # diffuse divides its total (direct + GI) by (gi_count + 1)
+    # (render.hpp:208); texture does not (render.hpp:211-238).
+    direct_scale = jnp.where(is_diffuse, 1.0 / (gi_count + 1), 1.0)
+    contrib = (live * factor * direct_scale)[:, None] * surf_color
+    contrib += (live * is_constant)[:, None] * hit.albedo
+
+    # ---- reflective child (render.hpp:239-250) ---------------------
+    refl_dir = d_in - 2.0 * _dot(d_in, hit.hit_n)[:, None] * hit.hit_n
+    refl_org = hit.position + cfg.reflection_bias * refl_dir
+
+    # ---- refractive children (render.hpp:251-301) ------------------
+    n_geo = jnp.where(hit.smooth[:, None], hit.hit_n, hit.face_n)
+    nrm = _safe_normalize(n_geo)
+    i_dir = _safe_normalize(d_in)
+    din = _dot(i_dir, nrm)
+    entering_flip = din > 0.0            # render.hpp:257-260
+    nrm = jnp.where(entering_flip[:, None], -nrm, nrm)
+    eta_i = jnp.where(entering_flip, hit.ior, 1.0)
+    eta_r = jnp.where(entering_flip, 1.0, hit.ior)
+    cos_i = -_dot(i_dir, nrm)
+    # sqrt args clamped to a small positive value, not 0: sqrt'(0) = inf
+    # and TIR rays evaluate the (masked-out) refraction branch, which
+    # would inject NaN into the backward pass via 0 * inf.
+    sin_i = jnp.sqrt(jnp.maximum(1e-12, 1.0 - cos_i * cos_i))
+    tir = (eta_r / jnp.maximum(eta_i, 1e-20)) < sin_i   # render.hpp:266
+    r_refl_dir = i_dir - 2.0 * _dot(i_dir, nrm)[:, None] * nrm
+    r_refl_org = hit.position + cfg.reflection_bias * r_refl_dir
+    sin_r = sin_i * eta_i / jnp.maximum(eta_r, 1e-20)
+    cos_r = jnp.sqrt(jnp.maximum(1e-12, 1.0 - sin_r * sin_r))
+    perp = _safe_normalize(i_dir + cos_i[:, None] * nrm)
+    refr_dir = cos_r[:, None] * (-nrm) + sin_r[:, None] * perp
+    refr_org = hit.position + cfg.refraction_bias * refr_dir
+    # Pseudo-Fresnel 0.5*(1 + i.n)^5 (render.hpp:300); i.n == -cos_i here.
+    fresnel = 0.5 * (1.0 - cos_i) ** 5
+
+    # ---- diffuse GI children (render.hpp:151-182) ------------------
+    if gi_count > 0:
+        right = _safe_normalize(jnp.cross(d_in, hit.hit_n))
+        up = hit.hit_n
+        fwd = jnp.cross(right, up)
+        rnd = jax.random.uniform(key, (n, gi_count, 2), dtype=weight.dtype)
+        theta = jnp.pi * rnd[..., 0]
+        phi = 2.0 * jnp.pi * rnd[..., 1]
+        # rand vec (cos t, sin t, 0) rotated about Y by phi
+        # (render.hpp:160-170): result = (cos phi * cos t, sin t,
+        # sin phi * cos t).
+        vx = jnp.cos(phi) * jnp.cos(theta)
+        vy = jnp.sin(theta)
+        vz = jnp.sin(phi) * jnp.cos(theta)
+        # direction = mat3(right,up,fwd) * v, i.e. components are the
+        # rows-dot-vec products (right.v, up.v, fwd.v) — replicated
+        # literally from render.hpp:157,:173 + mat3.hpp:53-60.
+        gi_dir = jnp.stack([
+            right[:, None, 0] * vx + right[:, None, 1] * vy
+            + right[:, None, 2] * vz,
+            up[:, None, 0] * vx + up[:, None, 1] * vy + up[:, None, 2] * vz,
+            fwd[:, None, 0] * vx + fwd[:, None, 1] * vy
+            + fwd[:, None, 2] * vz,
+        ], axis=-1)                                    # (N, gi_count, 3)
+        gi_org = (hit.position + cfg.reflection_bias * hit.hit_n)[:, None, :]
+        gi_org = jnp.broadcast_to(gi_org, gi_dir.shape)
+
+    # ---- assemble K child slots ------------------------------------
+    child_o = jnp.zeros((n, k, 3), weight.dtype)
+    child_d = jnp.zeros((n, k, 3), weight.dtype)
+    child_d = child_d.at[..., 2].set(-1.0)   # harmless default direction
+    child_w = jnp.zeros((n, k), weight.dtype)
+    child_bg = jnp.zeros((n, k), bool)
+
+    def put(slot, sel, o_s, d_s, w_s, bg_s: bool):
+        sel3 = sel[:, None]
+        nonlocal child_o, child_d, child_w, child_bg
+        child_o = child_o.at[:, slot].set(
+            jnp.where(sel3, o_s, child_o[:, slot]))
+        child_d = child_d.at[:, slot].set(
+            jnp.where(sel3, d_s, child_d[:, slot]))
+        child_w = child_w.at[:, slot].set(
+            jnp.where(sel, w_s, child_w[:, slot]))
+        if bg_s:
+            child_bg = child_bg.at[:, slot].set(
+                child_bg[:, slot] | sel)
+
+    hit_live = hit.mask & (weight > 0.0)
+    # slot 0: mirror reflection (reflective), refr-reflection (refractive),
+    # or first GI ray (diffuse).
+    put(0, hit_live & is_reflective, refl_org, refl_dir, weight, True)
+    refr_refl_w = jnp.where(tir, weight, weight * fresnel)
+    put(0, hit_live & is_refractive, r_refl_org, r_refl_dir,
+        refr_refl_w, False)
+    # slot 1: refraction ray (skipped under total internal reflection,
+    # render.hpp:266-276).
+    put(1, hit_live & is_refractive & ~tir, refr_org, refr_dir,
+        weight * (1.0 - fresnel), False)
+    if gi_count > 0:
+        gi_w = weight / (gi_count + 1)
+        for s in range(gi_count):
+            put(s, hit_live & is_diffuse, gi_org[:, s], gi_dir[:, s],
+                gi_w, False)
+
+    children = (child_o.reshape(n * k, 3), child_d.reshape(n * k, 3),
+                child_w.reshape(n * k), child_bg.reshape(n * k))
+    return contrib, children
