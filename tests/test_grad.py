@@ -84,10 +84,13 @@ def test_vertex_gradient_matches_fd():
     with enable_x64():
         params, skeleton, cfg, ids, key = setup()
         target = jnp.zeros((ids.shape[0], 3))
-        # nudge a vertex along z (depth) to stay FD-stable (no silhouette
-        # flip at 1e-5)
+        # Nudge a vertex along z (depth).  FD step must dodge discrete
+        # boundaries: at h=1e-5 this scene crosses an argmin-winner flip
+        # (visibility is piecewise constant under stop_gradient) and FD
+        # reads the jump, while h=1e-4 and h=1e-6 both agree with the
+        # analytic value to ~1e-7 relative.
         fd_check(params, skeleton, cfg, ids, target, key, "vertices", 2,
-                 rtol=2e-3)
+                 h=1e-4, rtol=2e-3)
 
 
 def test_background_gradient_matches_fd():
