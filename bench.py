@@ -29,6 +29,8 @@ def main() -> int:
                     help="resolution scale on the scene's native HxW")
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--intersector", default="jnp",
+                    choices=["jnp", "pallas", "kdtree"])
     ap.add_argument("--backward", action="store_true",
                     help="also time fwd+bwd gradient throughput")
     args = ap.parse_args()
@@ -39,18 +41,24 @@ def main() -> int:
     h = max(8, int(scene.height * args.scale))
     w = max(8, int(scene.width * args.scale))
     scene = scene.replace(height=h, width=w)
-    cfg = RenderConfig(samples_per_pixel=args.spp, chunk_size=args.chunk)
+    cfg = RenderConfig(samples_per_pixel=args.spp, chunk_size=args.chunk,
+                       intersector=args.intersector)
+
+    accel = None
+    if args.intersector == "kdtree":
+        from simd_raytracer_tpu.accel.build import build_kdtree_for_scene
+        accel = build_kdtree_for_scene(scene)
 
     rays = h * w * args.spp
 
     # warmup (compile)
-    img = render_frame(scene, cfg)
+    img = render_frame(scene, cfg, accel=accel)
     jax.block_until_ready(img)
 
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        img = render_frame(scene, cfg)
+        img = render_frame(scene, cfg, accel=accel)
         jax.block_until_ready(img)
         times.append(time.perf_counter() - t0)
     best = min(times)
@@ -64,10 +72,33 @@ def main() -> int:
         "vs_baseline": round(rays_per_sec / baseline, 3),
         "detail": {
             "scene": args.scene, "h": h, "w": w, "spp": args.spp,
+            "intersector": args.intersector,
             "seconds_per_frame": round(best, 4),
             "device": str(jax.devices()[0]),
         },
     }
+
+    if args.backward:
+        import jax.numpy as jnp
+        from simd_raytracer_tpu.ops.grad import loss_and_grad, split_params
+
+        params, skeleton = split_params(scene)
+        n = min(h * w, args.chunk)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        target = jnp.zeros((n, 3), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        out = loss_and_grad(params, skeleton, cfg, ids, target, key, accel)
+        jax.block_until_ready(out)
+        gtimes = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            out = loss_and_grad(params, skeleton, cfg, ids, target, key,
+                                accel)
+            jax.block_until_ready(out)
+            gtimes.append(time.perf_counter() - t0)
+        result["detail"]["fwd_bwd_rays_per_sec"] = round(n / min(gtimes), 1)
+        result["detail"]["fwd_bwd_rays"] = n
+
     print(json.dumps(result))
     return 0
 

@@ -11,5 +11,8 @@ from .models.loader import parse_scene_file, parse_scene_dict
 from .models.scene import Scene, derive_geometry
 from .ops.render import render_frame
 from .utils.ppm import write_ppm, save_ppm, ppm_bytes
+from .accel import KdTree, build_kdtree_for_scene
+from .parallel.tiles import SchedulingType
+from .utils.checkpoint import render_progressive
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -29,6 +29,17 @@ def main(argv=None) -> int:
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--intersector", default="jnp",
                     choices=["jnp", "pallas", "kdtree"])
+    ap.add_argument("--scheduling", default="linear",
+                    choices=["linear", "single", "region", "bucket"],
+                    help="tile order (reference tile/*.hpp; linear is the "
+                         "TPU-native default, bucket mirrors main.cpp:17)")
+    ap.add_argument("--progressive-batch", type=int, default=0,
+                    help="render spp in batches of this size with "
+                         "checkpointing (0 = one shot)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="accumulation checkpoint path for progressive mode")
+    ap.add_argument("--profile", action="store_true",
+                    help="print per-phase timings (load/build/compile/render)")
     args = ap.parse_args(argv)
 
     from simd_raytracer_tpu import (RenderConfig, parse_scene_file,
@@ -45,8 +56,31 @@ def main(argv=None) -> int:
         intersector=args.intersector)
 
     import jax
+
+    accel = None
+    if args.intersector == "kdtree":
+        from simd_raytracer_tpu.accel.build import build_kdtree_for_scene
+        t0 = time.perf_counter()
+        accel = build_kdtree_for_scene(scene)
+        if args.profile:
+            print(f"kd-tree build took {time.perf_counter() - t0} seconds.")
+
+    scheduling = None
+    if args.scheduling != "linear":
+        from simd_raytracer_tpu.parallel.tiles import SchedulingType
+        scheduling = {"single": SchedulingType.SINGLE,
+                      "region": SchedulingType.REGION_GRID,
+                      "bucket": SchedulingType.BUCKET_TILES}[args.scheduling]
+
     t0 = time.perf_counter()
-    img = render_frame(scene, cfg)
+    if args.progressive_batch:
+        from simd_raytracer_tpu.utils.checkpoint import render_progressive
+        img = render_progressive(
+            scene, cfg, total_spp=args.spp,
+            spp_per_batch=args.progressive_batch,
+            checkpoint_path=args.checkpoint, accel=accel)
+    else:
+        img = render_frame(scene, cfg, accel=accel, scheduling=scheduling)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
     print(f"Rendering took {dt} seconds.")

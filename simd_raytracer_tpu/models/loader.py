@@ -51,6 +51,17 @@ def _require(obj: Dict[str, Any], key: str, ctx: str):
     return obj[key]
 
 
+def _resolve_bitmap_path(fp: str, base_dir: str) -> str:
+    """The reference passes the raw string to stbi_load, resolving against
+    the process CWD.  Scene files use repo-root-relative paths
+    ("scenes/.../x.jpg"), so also try every path suffix against the scene
+    file's directory."""
+    parts = fp.replace("\\", "/").split("/")
+    candidates = [fp] + [os.path.join(base_dir, *parts[i:])
+                         for i in range(len(parts))]
+    return next((c for c in candidates if os.path.exists(c)), fp)
+
+
 def parse_scene_dict(doc: Dict[str, Any], base_dir: str = ".") -> Scene:
     settings = _require(doc, "settings", "scene")
     image_settings = _require(settings, "image_settings", "settings")
@@ -83,15 +94,7 @@ def parse_scene_dict(doc: Dict[str, Any], base_dir: str = ".") -> Scene:
                   "color_b": tj["color_B"],
                   "param": float(tj["square_size"])}
         elif ttype == "bitmap":
-            fp = tj["file_path"]
-            # The reference passes the raw string to stbi_load, resolving
-            # against the process CWD.  Scene files use repo-root-relative
-            # paths ("scenes/.../x.jpg"), so also try every path suffix
-            # against the scene file's directory.
-            parts = fp.replace("\\", "/").split("/")
-            candidates = [fp] + [os.path.join(base_dir, *parts[i:])
-                                 for i in range(len(parts))]
-            path = next((c for c in candidates if os.path.exists(c)), fp)
+            path = _resolve_bitmap_path(tj["file_path"], base_dir)
             td = {"tag": TEX_BITMAP, "bitmap": _load_bitmap(path)}
         else:
             raise ValueError(f"texture type unknown: {ttype!r}")
@@ -161,8 +164,50 @@ def parse_scene_dict(doc: Dict[str, Any], base_dir: str = ".") -> Scene:
     )
 
 
-def parse_scene_file(path: str) -> Scene:
-    """Parse a `.crtscene` file (loader.hpp:236-265 equivalent)."""
+def _scene_from_native(raw: Dict[str, Any], base_dir: str) -> Scene:
+    """Assemble a Scene from the C++ loader's raw arrays (native.py)."""
+    textures = []
+    for td in raw["textures"]:
+        entry = {"tag": td["tag"], "color_a": td["color_a"],
+                 "color_b": td["color_b"], "param": td["param"]}
+        if td["tag"] == TEX_BITMAP:
+            entry["bitmap"] = _load_bitmap(
+                _resolve_bitmap_path(td["file_path"], base_dir))
+        textures.append(entry)
+    return build_scene(
+        mesh_vertices=[o["vertices"] for o in raw["objects"]],
+        mesh_tri_vidx=[o["triangles"] for o in raw["objects"]],
+        mesh_uvs=[o["uvs"] for o in raw["objects"]],
+        mesh_material=[o["material_index"] for o in raw["objects"]],
+        materials=raw["materials"], textures=textures,
+        lights=list(zip(raw["light_pos"],
+                        raw["light_intensity"].tolist())),
+        cam_pos=raw["cam_pos"], cam_mat=raw["cam_mat"],
+        background=raw["background"],
+        height=raw["height"], width=raw["width"],
+        bucket_size=raw["bucket_size"],
+    )
+
+
+def parse_scene_file(path: str, use_native: bool = None) -> Scene:
+    """Parse a `.crtscene` file (loader.hpp:236-265 equivalent).
+
+    use_native: force the C++ loader (native/loader.cpp) on/off; None
+    auto-selects it when the shared library is built.  Both paths produce
+    identical Scenes (tested in tests/test_native.py).
+    """
+    base_dir = os.path.dirname(os.path.abspath(path))
+    if use_native is None or use_native:
+        from ..native import native_parse_scene
+        try:
+            raw = native_parse_scene(path)
+        except ValueError:
+            raise
+        if raw is not None:
+            return _scene_from_native(raw, base_dir)
+        if use_native:
+            raise RuntimeError("native loader requested but the shared "
+                               "library is not built; run `make -C native`")
     with open(path, "r") as f:
         doc = json.load(f)
-    return parse_scene_dict(doc, base_dir=os.path.dirname(os.path.abspath(path)))
+    return parse_scene_dict(doc, base_dir=base_dir)

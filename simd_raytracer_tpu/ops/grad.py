@@ -38,33 +38,38 @@ def merge_params(params: Dict[str, jnp.ndarray], skeleton: Scene) -> Scene:
 
 
 def render_ids(scene: Scene, cfg: RenderConfig, ids: jnp.ndarray,
-               key: jax.Array) -> jnp.ndarray:
+               key: jax.Array, accel=None) -> jnp.ndarray:
     """Differentiable colors for a flat batch of ray ids: (N,) -> (N, 3)."""
     geom = derive_geometry(scene)
-    return render_chunk(scene, geom, cfg, ids, key)
+    return render_chunk(scene, geom, cfg, ids, key, accel)
 
 
 def pixel_loss(params: Dict[str, jnp.ndarray], skeleton: Scene,
                cfg: RenderConfig, ids: jnp.ndarray, target: jnp.ndarray,
-               key: jax.Array) -> jnp.ndarray:
-    """Mean squared error between rendered ray colors and target colors."""
+               key: jax.Array, accel=None) -> jnp.ndarray:
+    """Mean squared error between rendered ray colors and target colors.
+
+    With cfg.intersector == "kdtree", pass the (host-built) accel; its
+    topology is frozen — gradients flow through the winning triangles'
+    intersection math, not the tree (SURVEY.md §7 hard part (b)).
+    """
     scene = merge_params(params, skeleton)
-    colors = render_ids(scene, cfg, ids, key)
+    colors = render_ids(scene, cfg, ids, key, accel)
     return jnp.mean((colors - target) ** 2)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def loss_and_grad(params, skeleton: Scene, cfg: RenderConfig,
-                  ids, target, key):
+                  ids, target, key, accel=None):
     return jax.value_and_grad(pixel_loss)(
-        params, skeleton, cfg, ids, target, key)
+        params, skeleton, cfg, ids, target, key, accel)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "lr"))
 def train_step(params, skeleton: Scene, cfg: RenderConfig,
-               ids, target, key, lr: float = 1e-2):
+               ids, target, key, lr: float = 1e-2, accel=None):
     """One SGD inverse-rendering step on the differentiable scene params."""
     loss, grads = jax.value_and_grad(pixel_loss)(
-        params, skeleton, cfg, ids, target, key)
+        params, skeleton, cfg, ids, target, key, accel)
     params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
     return params, loss

@@ -36,30 +36,26 @@ def _cross(ax, ay, az, bx, by, bz):
     return (ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx)
 
 
-def mt_select(
-    o: jnp.ndarray,            # (R, 3) ray origins
-    d: jnp.ndarray,            # (R, 3) ray directions
-    v0: jnp.ndarray,           # (T, 3)
-    e1: jnp.ndarray,           # (T, 3)
-    e2: jnp.ndarray,           # (T, 3)
-    eps: float,
-    cull: bool,
-    tri_mask: Optional[jnp.ndarray] = None,   # (T,) bool, False = skip
-):
-    """All-pairs Moller-Trumbore; returns (best_idx (R,) i32, hit (R,) bool).
+def mt_pairs(o_comp, d_comp, v0_comp, e1_comp, e2_comp, eps, cull):
+    """Componentwise Moller-Trumbore over broadcastable operand grids.
+
+    Each argument is a 3-tuple of x/y/z component arrays; all component
+    arrays broadcast against each other (e.g. rays as (R,1) columns and
+    triangles as (1,T) rows, or per-ray gathered leaves as (R,K)).
+    Returns (t, ok) in the broadcast shape.
 
     Math mirrors triangle_packet::intersect (kd_tree_simd.hpp:26-60):
     backface culling keeps det > eps, otherwise |det| > eps; u in [0,1],
-    v >= 0, u+v <= 1, t > eps.  Misses get t = BIG before the min-reduce,
-    like the `where(!mask, t) = best_t` lane masking at :276-287.
+    v >= 0, u+v <= 1, t > eps.  Shared by the brute-force sweep and the
+    kd-tree leaf test so their winning t values are bitwise identical.
     """
-    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]          # (R, 1)
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-    v0x, v0y, v0z = v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]  # (1, T)
-    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
-    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    ox, oy, oz = o_comp
+    dx, dy, dz = d_comp
+    v0x, v0y, v0z = v0_comp
+    e1x, e1y, e1z = e1_comp
+    e2x, e2y, e2z = e2_comp
 
-    px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)         # pvec (R, T)
+    px, py, pz = _cross(dx, dy, dz, e2x, e2y, e2z)         # pvec
     det = e1x * px + e1y * py + e1z * pz
     if cull:
         ok = det > eps
@@ -77,6 +73,31 @@ def mt_select(
 
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok &= t > eps
+    return t, ok
+
+
+def mt_select(
+    o: jnp.ndarray,            # (R, 3) ray origins
+    d: jnp.ndarray,            # (R, 3) ray directions
+    v0: jnp.ndarray,           # (T, 3)
+    e1: jnp.ndarray,           # (T, 3)
+    e2: jnp.ndarray,           # (T, 3)
+    eps: float,
+    cull: bool,
+    tri_mask: Optional[jnp.ndarray] = None,   # (T,) bool, False = skip
+):
+    """All-pairs Moller-Trumbore; returns (best_idx (R,) i32, hit (R,) bool).
+
+    Misses get t = BIG before the min-reduce, like the
+    `where(!mask, t) = best_t` lane masking at kd_tree_simd.hpp:276-287.
+    """
+    t, ok = mt_pairs(
+        (o[:, 0:1], o[:, 1:2], o[:, 2:3]),                       # (R, 1)
+        (d[:, 0:1], d[:, 1:2], d[:, 2:3]),
+        (v0[None, :, 0], v0[None, :, 1], v0[None, :, 2]),        # (1, T)
+        (e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]),
+        (e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]),
+        eps, cull)
 
     if tri_mask is not None:
         ok &= tri_mask[None, :]
@@ -135,14 +156,28 @@ class HitRecord:
     mesh_idx: jnp.ndarray   # (N,) i32
 
 
-def make_select_fn(intersector: str):
+def make_select_fn(intersector: str, accel=None):
+    """Resolve the closest-hit sweep backend.
+
+    All three share one call signature
+    (o, d, v0, e1, e2, eps, cull, tri_mask) -> (idx, hit) — the batched
+    analog of the reference's accelerator concept (accel/accel.hpp:8-12).
+    """
     if intersector == "jnp":
         return mt_select
     if intersector == "pallas":
         from .intersect_pallas import mt_select_pallas
         return mt_select_pallas
     if intersector == "kdtree":
-        raise NotImplementedError("use ops.kdtree.trace for kdtree mode")
+        if accel is None:
+            raise ValueError("intersector='kdtree' needs an accel: build "
+                             "one with accel.build_kdtree_for_scene(scene)")
+
+        def kd(o, d, v0, e1, e2, eps, cull, tri_mask=None):
+            from ..accel.traverse import kd_select
+            return kd_select(o, d, v0, e1, e2, eps, cull, tri_mask, accel)
+
+        return kd
     raise ValueError(intersector)
 
 
@@ -155,6 +190,7 @@ def trace(
     cull: bool,
     tri_mask: Optional[jnp.ndarray] = None,
     intersector: str = "jnp",
+    accel=None,
 ) -> HitRecord:
     """Closest-hit query for a ray wavefront against the whole scene.
 
@@ -163,7 +199,7 @@ def trace(
     """
     mask = tri_mask if tri_mask is not None else geom.tri_valid
 
-    select = make_select_fn(intersector)
+    select = make_select_fn(intersector, accel)
     idx, hit = select(
         jax.lax.stop_gradient(o), jax.lax.stop_gradient(d),
         jax.lax.stop_gradient(geom.v0), jax.lax.stop_gradient(geom.e1),

@@ -33,7 +33,8 @@ from .shade import shade
 
 
 def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
-                 ray_ids: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+                 ray_ids: jnp.ndarray, key: jax.Array,
+                 accel=None) -> jnp.ndarray:
     """Render one chunk of (pixel, sample) ray ids -> (R0, 3) colors.
 
     ray_ids are global ids in [0, H*W*spp); ids >= total are padding and
@@ -69,7 +70,7 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
 
     for depth in range(cfg.max_ray_depth + 1):
         hit = trace(o, d, scene, geom, cfg.epsilon, cull=(depth == 0),
-                    intersector=cfg.intersector)
+                    intersector=cfg.intersector, accel=accel)
         live_w = weight
         miss_term = live_w * (~hit.mask & miss_bg)
         contrib = miss_term[:, None] * bg
@@ -80,7 +81,7 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
             break
         bounce_key = jax.random.fold_in(key, depth + 1)
         shade_contrib, (o, d, weight, miss_bg) = shade(
-            scene, geom, hit, d, weight, cfg, bounce_key)
+            scene, geom, hit, d, weight, cfg, bounce_key, accel)
         contrib = contrib + shade_contrib
         accum = accum + contrib.reshape(r0, -1, 3).sum(axis=1)
 
@@ -89,32 +90,50 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _render_ids(scene: Scene, cfg: RenderConfig,
-                ids: jnp.ndarray, keys: jnp.ndarray) -> jnp.ndarray:
+                ids: jnp.ndarray, keys: jnp.ndarray,
+                accel=None) -> jnp.ndarray:
     """jit entry: ids (C, R0), keys (C,) -> colors (C, R0, 3)."""
     geom = derive_geometry(scene)
 
     def one(args):
         chunk_ids, chunk_key = args
-        return render_chunk(scene, geom, cfg, chunk_ids, chunk_key)
+        return render_chunk(scene, geom, cfg, chunk_ids, chunk_key, accel)
 
     return jax.lax.map(one, (ids, keys))
 
 
-def make_ray_chunks(scene: Scene, cfg: RenderConfig):
-    """Host-side: (C, R0) int32 ray-id array covering H*W*spp, padded."""
+def make_ray_chunks(scene: Scene, cfg: RenderConfig, scheduling=None):
+    """Host-side: (C, R0) int32 ray-id array covering H*W*spp, padded.
+
+    scheduling: None (linear pixel order — fastest, maximally coherent
+    chunks) or a parallel.tiles.SchedulingType replicating the reference's
+    tile orders (single / region grid / bucket tiles, tile/*.hpp).  The
+    rendered image is identical either way; order affects chunk locality
+    and which pixels finish first under progressive rendering.
+    """
     total = scene.height * scene.width * cfg.samples_per_pixel
     r0 = cfg.chunk_size
+    if scheduling is not None:
+        from ..parallel.tiles import make_schedule, schedule_to_chunks
+        tiles = make_schedule(scheduling, scene.height, scene.width,
+                              bucket=scene.bucket_size)
+        return schedule_to_chunks(tiles, scene.width,
+                                  cfg.samples_per_pixel, r0, total)
     c = -(-total // r0)
     ids = np.arange(c * r0, dtype=np.int32).reshape(c, r0)
     return ids
 
 
 def render_frame(scene: Scene, cfg: RenderConfig = RenderConfig(),
-                 key: Optional[jax.Array] = None) -> jnp.ndarray:
+                 key: Optional[jax.Array] = None,
+                 accel=None, scheduling=None) -> jnp.ndarray:
     """Full-frame render -> (H, W, 3) float32 (linear color).
 
     Equivalent of render_frame (render.hpp:18-108): camera rays for every
-    (pixel, sample), wavefront bounce loop, spp average.
+    (pixel, sample), wavefront bounce loop, spp average.  With
+    cfg.intersector == "kdtree" the accelerator is built on the host when
+    not supplied (the analog of the kd_tree_simd_accel ctor at
+    src/main.cpp:41).
     """
     if key is None:
         seed = cfg.rng_seed if cfg.rng_seed is not None else 0
@@ -123,9 +142,22 @@ def render_frame(scene: Scene, cfg: RenderConfig = RenderConfig(),
     h, w = scene.height, scene.width
     total = h * w * spp
 
-    ids = jnp.asarray(make_ray_chunks(scene, cfg))
+    if accel is None and cfg.intersector == "kdtree":
+        from ..accel.build import build_kdtree_for_scene
+        accel = build_kdtree_for_scene(scene)
+
+    ids_np = make_ray_chunks(scene, cfg, scheduling)
+    ids = jnp.asarray(ids_np)
     keys = jax.random.split(key, ids.shape[0])
-    colors = _render_ids(scene, cfg, ids, keys)
-    flat = colors.reshape(-1, 3)[:total]
+    colors = _render_ids(scene, cfg, ids, keys, accel)
+    flat = np.asarray(colors).reshape(-1, 3)
+    if scheduling is not None:
+        # Scatter tile-ordered chunks back to pixel-major order.
+        out = np.zeros((total, 3), flat.dtype)
+        sel = ids_np.reshape(-1) < total
+        out[ids_np.reshape(-1)[sel]] = flat[sel]
+        flat = jnp.asarray(out)
+    else:
+        flat = jnp.asarray(flat[:total])
     img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
     return img.reshape(h, w, 3)

@@ -54,7 +54,8 @@ def _safe_normalize(v):
 
 
 def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
-             scene: Scene, geom: Geometry, cfg: RenderConfig) -> jnp.ndarray:
+             scene: Scene, geom: Geometry, cfg: RenderConfig,
+             accel=None) -> jnp.ndarray:
     """Batched is_occluded (render.hpp:110-131). o,d (N,3); max_t (N,).
 
     Occlusion is a discrete visibility predicate — no gradients flow
@@ -64,7 +65,7 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
     d = jax.lax.stop_gradient(d)
     max_t = jax.lax.stop_gradient(max_t)
     eps = cfg.epsilon
-    select = make_select_fn(cfg.intersector)
+    select = make_select_fn(cfg.intersector, accel)
 
     if cfg.occlusion_mode == "fast":
         # Transmissive surfaces never occlude and only re-originate the
@@ -104,7 +105,7 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
 
 
 def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
-                        cfg: RenderConfig) -> jnp.ndarray:
+                        cfg: RenderConfig, accel=None) -> jnp.ndarray:
     """Sum over lights of  visibility * intensity/(4*pi*r^2) * cos_law.
 
     Replicates the per-light loop shared by diffuse and texture materials
@@ -127,7 +128,7 @@ def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
 
     shadow_o = hit.position[:, None, :] + cfg.shadow_bias * ldir
     occ = occluded(shadow_o.reshape(-1, 3), ldir.reshape(-1, 3),
-                   r.reshape(-1), scene, geom, cfg).reshape(n_rays, nl)
+                   r.reshape(-1), scene, geom, cfg, accel).reshape(n_rays, nl)
 
     falloff = scene.light_intensity[None, :] / jnp.maximum(area, 1e-20)
     return jnp.sum(jnp.where(occ, 0.0, falloff * cos_law), axis=-1)
@@ -135,7 +136,7 @@ def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
 
 def shade(scene: Scene, geom: Geometry, hit: HitRecord,
           d_in: jnp.ndarray, weight: jnp.ndarray,
-          cfg: RenderConfig, key: jax.Array,
+          cfg: RenderConfig, key: jax.Array, accel=None,
           ) -> Tuple[jnp.ndarray, Tuple]:
     """One wavefront bounce of shading.
 
@@ -158,7 +159,7 @@ def shade(scene: Scene, geom: Geometry, hit: HitRecord,
 
     # ---- direct contributions --------------------------------------
     lit = is_diffuse | is_texture
-    factor = direct_light_factor(scene, geom, hit, cfg)
+    factor = direct_light_factor(scene, geom, hit, cfg, accel)
     factor = jnp.where(lit, factor, 0.0)
     tex_color = sample_texture(scene, hit.tex, hit.u, hit.v, hit.w, hit.uvs)
     surf_color = jnp.where(is_texture[:, None], tex_color, hit.albedo)

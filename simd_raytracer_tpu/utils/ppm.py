@@ -12,9 +12,13 @@ import numpy as np
 
 
 def image_to_u8(img: np.ndarray) -> np.ndarray:
-    """(H, W, 3) float -> uint8 via the reference's 255.999*clamp cast."""
-    img = np.asarray(img)
-    return (255.999 * np.clip(img, 0.0, 1.0)).astype(np.uint8)
+    """(H, W, 3) float -> uint8 via the reference's 255.999*clamp cast.
+
+    Arithmetic is kept in float32 (the reference's F=float) so the Python
+    and C++ (native/ppm.cpp) encoders truncate identically at integer
+    boundaries."""
+    img = np.asarray(img, np.float32)
+    return (np.float32(255.999) * np.clip(img, 0.0, 1.0)).astype(np.uint8)
 
 
 def write_ppm(img: np.ndarray, stream) -> None:
@@ -26,15 +30,25 @@ def write_ppm(img: np.ndarray, stream) -> None:
         stream.write("".join(f"{r} {g} {b}\t" for r, g, b in row) + "\n")
 
 
-def ppm_bytes(img: np.ndarray) -> bytes:
+def ppm_bytes(img: np.ndarray, use_native: bool = None) -> bytes:
+    """Encode to P3 bytes; uses the C++ encoder (native/ppm.cpp) when the
+    shared library is built (byte-identical, tested in test_native.py)."""
+    if use_native is None or use_native:
+        from ..native import native_ppm_encode
+        out = native_ppm_encode(np.asarray(img, np.float32))
+        if out is not None:
+            return out
+        if use_native:
+            raise RuntimeError("native PPM encoder requested but the shared "
+                               "library is not built; run `make -C native`")
     buf = io.StringIO()
     write_ppm(img, buf)
     return buf.getvalue().encode()
 
 
 def save_ppm(img: np.ndarray, path: str) -> None:
-    with open(path, "w") as f:
-        write_ppm(img, f)
+    with open(path, "wb") as f:
+        f.write(ppm_bytes(img))
 
 
 def read_ppm(path: str) -> np.ndarray:
