@@ -30,7 +30,9 @@ def main() -> int:
     ap.add_argument("--chunk", type=int, default=8192)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--intersector", default="jnp",
-                    choices=["jnp", "pallas", "kdtree"])
+                    choices=["jnp", "pallas", "mxu", "kdtree", "sweep"])
+    ap.add_argument("--bounce-mode", default="split",
+                    choices=["split", "roulette"])
     ap.add_argument("--backward", action="store_true",
                     help="also time fwd+bwd gradient throughput")
     args = ap.parse_args()
@@ -42,12 +44,16 @@ def main() -> int:
     w = max(8, int(scene.width * args.scale))
     scene = scene.replace(height=h, width=w)
     cfg = RenderConfig(samples_per_pixel=args.spp, chunk_size=args.chunk,
-                       intersector=args.intersector)
+                       intersector=args.intersector,
+                       bounce_mode=args.bounce_mode)
 
     accel = None
     if args.intersector == "kdtree":
         from simd_raytracer_tpu.accel.build import build_kdtree_for_scene
         accel = build_kdtree_for_scene(scene)
+    elif args.intersector == "sweep":
+        from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
+        accel = build_sweep_for_scene(scene)
 
     rays = h * w * args.spp
 
@@ -73,6 +79,7 @@ def main() -> int:
         "detail": {
             "scene": args.scene, "h": h, "w": w, "spp": args.spp,
             "intersector": args.intersector,
+            "bounce_mode": args.bounce_mode,
             "seconds_per_frame": round(best, 4),
             "device": str(jax.devices()[0]),
         },

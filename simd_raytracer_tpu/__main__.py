@@ -28,7 +28,12 @@ def main(argv=None) -> int:
                     help="override scene width")
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--intersector", default="jnp",
-                    choices=["jnp", "pallas", "kdtree"])
+                    choices=["jnp", "pallas", "mxu", "kdtree", "sweep"])
+    ap.add_argument("--bounce-mode", default="split",
+                    choices=["split", "roulette"],
+                    help="split = reference's full recursion tree; "
+                         "roulette = unbiased single-child sampling "
+                         "(flat wavefront, far faster at depth)")
     ap.add_argument("--scheduling", default="linear",
                     choices=["linear", "single", "region", "bucket"],
                     help="tile order (reference tile/*.hpp; linear is the "
@@ -53,17 +58,21 @@ def main(argv=None) -> int:
         samples_per_pixel=args.spp, max_ray_depth=args.max_depth,
         diffuse_reflection_ray_count=args.gi_rays, fov_degrees=args.fov,
         rng_seed=args.seed, chunk_size=args.chunk,
-        intersector=args.intersector)
+        intersector=args.intersector, bounce_mode=args.bounce_mode)
 
     import jax
 
     accel = None
-    if args.intersector == "kdtree":
-        from simd_raytracer_tpu.accel.build import build_kdtree_for_scene
+    if args.intersector in ("kdtree", "sweep"):
         t0 = time.perf_counter()
-        accel = build_kdtree_for_scene(scene)
+        if args.intersector == "kdtree":
+            from simd_raytracer_tpu.accel.build import build_kdtree_for_scene
+            accel = build_kdtree_for_scene(scene)
+        else:
+            from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
+            accel = build_sweep_for_scene(scene)
         if args.profile:
-            print(f"kd-tree build took {time.perf_counter() - t0} seconds.")
+            print(f"accel build took {time.perf_counter() - t0} seconds.")
 
     scheduling = None
     if args.scheduling != "linear":

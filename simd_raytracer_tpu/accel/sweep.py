@@ -1,0 +1,92 @@
+"""Leaf-sweep acceleration data: kd leaves as dense 128-triangle slices.
+
+The TPU-native answer to divergent tree traversal (SURVEY.md §7 hard part
+(a)): instead of per-ray stacks, the spatial structure is flattened into a
+STATIC list of triangle slices — each a VPU-shaped (9, 128) SoA packet (the
+scaled-up sibling of the reference's width-W triangle_packet,
+kd_tree_simd.hpp:16-24) with a tight AABB over its members.  The Pallas
+sweep kernel (ops/intersect_sweep.py) streams every slice past every ray
+tile and SKIPS the packet Moller-Trumbore for (ray-tile, slice) pairs whose
+AABB test culls — block-sparsity instead of pointer chasing, so coherent
+rays pay only for the slices they can actually hit while the pipeline
+stays dense.
+
+Slices come from a (deeper-than-reference) kd-tree build so they are
+spatially tight; duplicated triangles across slices are harmless (winner
+merge is by lexicographic (t, global id), same result as brute force).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from .build import build_kdtree, triangle_aabbs
+
+SLICE = 128   # triangles per slice = VPU lane width
+
+
+@struct.dataclass
+class SweepData:
+    """S slices of 128 triangles each (static shapes per scene)."""
+
+    tri_soa: jnp.ndarray   # (S, 9, SLICE) f32: v0xyz, e1xyz, e2xyz rows
+    aabb: jnp.ndarray      # (S, 8) f32: min xyz, max xyz, 2 pad
+    tri_ids: jnp.ndarray   # (S, SLICE) i32 global triangle ids, -1 pad
+
+    @property
+    def num_slices(self) -> int:
+        return int(self.tri_ids.shape[0])
+
+
+def build_sweep_for_scene(scene, max_depth: int = 12,
+                          max_leaf: int = SLICE) -> SweepData:
+    """Chop a kd-tree's leaves into tight 128-triangle slices.
+
+    max_depth=12 goes deeper than the reference's 8 (kd_tree_simd.hpp:65)
+    because slice tightness is what buys block culling; duplication across
+    slices costs only padded lanes.
+    """
+    vertices = np.asarray(scene.vertices)
+    tri_vidx = np.asarray(scene.tri_vidx)
+    valid = np.asarray(scene.tri_valid)
+    tri_min, tri_max = triangle_aabbs(vertices, tri_vidx)
+    tree = build_kdtree(tri_min, tri_max, valid, max_depth, max_leaf)
+
+    leaf_rows = np.asarray(tree.leaf_tris)
+    slices = []
+    for row in leaf_rows:
+        tris = row[row >= 0]
+        for s in range(0, len(tris), SLICE):
+            slices.append(tris[s:s + SLICE])
+    if not slices:
+        slices.append(np.zeros(0, np.int32))
+
+    s_count = len(slices)
+    tri_ids = np.full((s_count, SLICE), -1, np.int32)
+    tri_soa = np.zeros((s_count, 9, SLICE), np.float32)
+    aabb = np.zeros((s_count, 8), np.float32)
+
+    corners = vertices[tri_vidx]                   # (T, 3, 3)
+    v0 = corners[:, 0]
+    e1 = corners[:, 1] - corners[:, 0]
+    e2 = corners[:, 2] - corners[:, 0]
+    soa_all = np.concatenate([v0.T, e1.T, e2.T], axis=0)   # (9, T)
+
+    for i, tris in enumerate(slices):
+        n = len(tris)
+        if n == 0:
+            aabb[i, 0:3] = 1.0    # empty inverted box: culls everything
+            aabb[i, 3:6] = 0.0
+            continue
+        tri_ids[i, :n] = tris
+        tri_soa[i, :, :n] = soa_all[:, tris]
+        aabb[i, 0:3] = tri_min[tris].min(axis=0)
+        aabb[i, 3:6] = tri_max[tris].max(axis=0)
+
+    return SweepData(tri_soa=jnp.asarray(tri_soa),
+                     aabb=jnp.asarray(aabb),
+                     tri_ids=jnp.asarray(tri_ids))

@@ -32,6 +32,11 @@ from .build import KdTree
 
 IMAX = jnp.int32(2**31 - 1)
 STACK_SLOTS = 24   # depth-8 binary tree needs <= 10; margin for deep trees
+LEAF_SLICE = 64    # triangles tested per ray per inner step: bounds the
+                   # (R, LEAF_SLICE) gather so huge duplicated leaves
+                   # (depth-8 leaves can exceed the 64-triangle target,
+                   # kd_tree_simd.hpp:65-66 only *tries* to stop there)
+                   # never materialize an (R, cap) buffer
 
 
 def _slab(o, inv_d, bmin, bmax):
@@ -75,6 +80,11 @@ def kd_select(
     best_i0 = jnp.full((r,), IMAX, jnp.int32)
 
     cap = tree.leaf_cap
+    n_slices = -(-cap // LEAF_SLICE)
+    pad = n_slices * LEAF_SLICE - cap
+    leaf_sliced = jnp.pad(tree.leaf_tris, ((0, 0), (0, pad)),
+                          constant_values=-1
+                          ).reshape(-1, n_slices, LEAF_SLICE)
 
     def cond(state):
         sp = state[1]
@@ -97,30 +107,41 @@ def kd_select(
         is_leaf = c0 < 0
 
         # ---- leaf packet test (masked for rays on inner nodes) -------
+        # Fixed-width slices keep peak memory at (R, LEAF_SLICE) however
+        # large the fattest leaf is.
         lid = jnp.maximum(tree.leaf_id[node], 0)
-        tris = tree.leaf_tris[lid]                    # (R, CAP) i32
-        lane_ok = (tris >= 0) & (visit & is_leaf)[:, None]
-        tidx = jnp.maximum(tris, 0)
-        lv0 = v0[tidx]                                # (R, CAP, 3)
-        le1 = e1[tidx]
-        le2 = e2[tidx]
-        t, ok = mt_pairs(
-            (o[:, 0:1], o[:, 1:2], o[:, 2:3]),
-            (d[:, 0:1], d[:, 1:2], d[:, 2:3]),
-            (lv0[..., 0], lv0[..., 1], lv0[..., 2]),
-            (le1[..., 0], le1[..., 1], le1[..., 2]),
-            (le2[..., 0], le2[..., 1], le2[..., 2]),
-            eps, cull)
-        ok &= lane_ok
-        if tri_mask is not None:
-            ok &= tri_mask[tidx]
-        t_m = jnp.where(ok, t, BIG)
-        leaf_t = jnp.min(t_m, axis=1)
-        leaf_i = jnp.min(jnp.where(t_m == leaf_t[:, None], tidx, IMAX),
-                         axis=1)
-        upd = (leaf_t < best_t) | ((leaf_t == best_t) & (leaf_i < best_i))
-        best_t = jnp.where(upd, leaf_t, best_t)
-        best_i = jnp.where(upd, leaf_i, best_i)
+        at_leaf = (visit & is_leaf)[:, None]
+
+        def leaf_slice(s, carry):
+            bt, bi = carry
+            tris = leaf_sliced[lid, s]                # (R, SLICE) i32
+            lane_ok = (tris >= 0) & at_leaf
+            tidx = jnp.maximum(tris, 0)
+            lv0 = v0[tidx]                            # (R, SLICE, 3)
+            le1 = e1[tidx]
+            le2 = e2[tidx]
+            t, ok = mt_pairs(
+                (o[:, 0:1], o[:, 1:2], o[:, 2:3]),
+                (d[:, 0:1], d[:, 1:2], d[:, 2:3]),
+                (lv0[..., 0], lv0[..., 1], lv0[..., 2]),
+                (le1[..., 0], le1[..., 1], le1[..., 2]),
+                (le2[..., 0], le2[..., 1], le2[..., 2]),
+                eps, cull)
+            ok &= lane_ok
+            if tri_mask is not None:
+                ok &= tri_mask[tidx]
+            t_m = jnp.where(ok, t, BIG)
+            leaf_t = jnp.min(t_m, axis=1)
+            leaf_i = jnp.min(jnp.where(t_m == leaf_t[:, None], tidx, IMAX),
+                             axis=1)
+            upd = (leaf_t < bt) | ((leaf_t == bt) & (leaf_i < bi))
+            return jnp.where(upd, leaf_t, bt), jnp.where(upd, leaf_i, bi)
+
+        if n_slices == 1:
+            best_t, best_i = leaf_slice(0, (best_t, best_i))
+        else:
+            best_t, best_i = jax.lax.fori_loop(
+                0, n_slices, leaf_slice, (best_t, best_i))
 
         # ---- push children for visited inner nodes -------------------
         push = visit & ~is_leaf

@@ -46,24 +46,42 @@ class RenderConfig:
     occlusion_mode: str = "fast"
     max_shadow_march: int = 8
     # Intersection backend: "jnp" (pure-XLA fused brute force), "pallas"
-    # (hand-written VPU kernel), or "kdtree" (flattened-tree traversal).
+    # (hand-written VPU kernel), "mxu" (Moller-Trumbore as bilinear
+    # matmuls on the systolic array), "kdtree" (flattened-tree wavefront
+    # traversal), or "sweep" (block-sparse Pallas: kd-leaf slices with
+    # AABB-culled packet tests — the fast path on TPU).
     intersector: str = "jnp"
+    # Bounce-tree handling.  "split" evaluates the reference's full
+    # deterministic recursion tree (refractive spawns reflection AND
+    # refraction, render.hpp:278-301; diffuse spawns every GI ray), so the
+    # wavefront widens by child_slots each bounce.  "roulette" keeps the
+    # wavefront FLAT: each ray continues along at most one stochastically
+    # chosen child (Fresnel-weighted for refractive, uniform over GI
+    # rays), with weights scaled so the estimator is unbiased — same mean
+    # image, more variance on refractive/GI paths, ~child_slots^depth less
+    # compute (SURVEY.md §7 hard part (c)).
+    bounce_mode: str = "split"
 
     def __post_init__(self):
         if self.occlusion_mode not in ("fast", "march"):
             raise ValueError(f"bad occlusion_mode {self.occlusion_mode!r}")
-        if self.intersector not in ("jnp", "pallas", "kdtree"):
+        if self.intersector not in ("jnp", "pallas", "mxu", "kdtree",
+                                    "sweep"):
             raise ValueError(f"bad intersector {self.intersector!r}")
+        if self.bounce_mode not in ("split", "roulette"):
+            raise ValueError(f"bad bounce_mode {self.bounce_mode!r}")
 
     @property
     def child_slots(self) -> int:
-        """Max secondary rays a single ray can spawn in one bounce.
+        """Secondary-ray slots a single ray keeps after one bounce.
 
-        Refractive spawns 2 (reflection + refraction, render.hpp:278-301);
-        diffuse spawns `diffuse_reflection_ray_count` GI rays
-        (render.hpp:151-182).  The same ray has one material, so the slot
-        count is the max of the two.
+        split: refractive spawns 2 (reflection + refraction,
+        render.hpp:278-301); diffuse spawns `diffuse_reflection_ray_count`
+        GI rays (render.hpp:151-182).  The same ray has one material, so
+        the slot count is the max of the two.  roulette: always 1.
         """
+        if self.bounce_mode == "roulette":
+            return 1
         return max(2, self.diffuse_reflection_ray_count)
 
 

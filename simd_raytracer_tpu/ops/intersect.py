@@ -168,6 +168,15 @@ def make_select_fn(intersector: str, accel=None):
     if intersector == "pallas":
         from .intersect_pallas import mt_select_pallas
         return mt_select_pallas
+    if intersector == "mxu":
+        from .intersect_mxu import mt_select_mxu
+        return mt_select_mxu
+    if intersector == "sweep":
+        if accel is None:
+            raise ValueError("intersector='sweep' needs an accel: build "
+                             "one with accel.sweep.build_sweep_for_scene")
+        from .intersect_sweep import make_sweep_select
+        return make_sweep_select(accel)
     if intersector == "kdtree":
         if accel is None:
             raise ValueError("intersector='kdtree' needs an accel: build "

@@ -1,0 +1,126 @@
+"""Closest-hit selection on the MXU: Moller-Trumbore as bilinear matmuls.
+
+The TPU's FLOPs live in the 128x128 systolic array, not the VPU — but
+ray-triangle intersection looks elementwise.  The trick: every
+Moller-Trumbore numerator is a *scalar triple product*, which is bilinear
+in (ray features) x (triangle features).  With the ray feature vector
+
+    f = [o, d, c, 1]          where  c = o x d        (10 features)
+
+and per-triangle constant vectors derived from (v0, e1, e2):
+
+    n = e1 x e2                                       (unnormalized normal)
+    det   = e1 . (d x e2)            = f . [ 0,  -n,      0,   0      ]
+    t_num = e2 . ((o - v0) x e1)     = f . [ n,   0,      0,  -(v0.n) ]
+    u_num = (o - v0) . (d x e2)      = f . [ 0,  v0 x e2, e2,  0      ]
+    v_num = d . ((o - v0) x e1)      = f . [ 0,  e1 x v0, -e1, 0      ]
+
+(by multilinearity of det3 and the cyclic identity a.(b x c) = c.(a x b)),
+so ALL pairs reduce to four (R, 10) @ (10, T) matmuls — the exact math of
+triangle_packet::intersect (reference: render/accel/kd_tree_simd.hpp:26-60)
+with the 9 per-lane cross/dot products hoisted into the contraction.  The
+accept tests become division-free sign comparisons on the numerators:
+
+    u in [0, 1]   <=>  u_num * sign(det) in [0, |det|]
+    v >= 0, u+v<=1 <=> v_num * s >= 0  and  (u_num + v_num) * s <= |det|
+    t > eps        <=>  t_num * s > eps * |det|
+
+Division happens once, for t of accepted pairs, before the min-reduce.
+Matmuls run with Precision.HIGHEST (bf16x6 passes, ~f32 accurate); the
+winner's exact t/u/v are recomputed differentiably by ops.intersect.refine
+anyway, so sub-ulp winner flips only matter at exact ties.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.float32(3.4e38)
+IMAX = jnp.int32(2**31 - 1)
+
+RAY_BLOCK = 8192   # rays per matmul block: bounds the (B, T) intermediates
+
+
+def _tri_weights(v0, e1, e2):
+    """Per-triangle weight matrices, each (T, 10): det/t/u/v numerators."""
+    t = v0.shape[0]
+    z3 = jnp.zeros((t, 3), v0.dtype)
+    z1 = jnp.zeros((t, 1), v0.dtype)
+    n = jnp.cross(e1, e2)
+    w_det = jnp.concatenate([z3, -n, z3, z1], axis=1)
+    w_t = jnp.concatenate(
+        [n, z3, z3, -jnp.sum(v0 * n, axis=1, keepdims=True)], axis=1)
+    w_u = jnp.concatenate([z3, jnp.cross(v0, e2), e2, z1], axis=1)
+    w_v = jnp.concatenate([z3, jnp.cross(e1, v0), -e1, z1], axis=1)
+    return w_det, w_t, w_u, w_v
+
+
+def _ray_features(o, d):
+    ones = jnp.ones((o.shape[0], 1), o.dtype)
+    return jnp.concatenate([o, d, jnp.cross(o, d), ones], axis=1)  # (R, 10)
+
+
+def mt_select_mxu(
+    o: jnp.ndarray,            # (R, 3)
+    d: jnp.ndarray,            # (R, 3)
+    v0: jnp.ndarray,           # (T, 3)
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    eps: float,
+    cull: bool,
+    tri_mask: Optional[jnp.ndarray] = None,
+):
+    """Drop-in replacement for ops.intersect.mt_select on the MXU path."""
+    r = o.shape[0]
+    t = v0.shape[0]
+    dtype = o.dtype
+
+    w_det, w_t, w_u, w_v = _tri_weights(v0, e1, e2)
+    # One fused (10, 4T) operand: a single matmul keeps the MXU busy and
+    # XLA fuses the slice + accept + reduce consumers.
+    w_all = jnp.concatenate([w_det, w_t, w_u, w_v], axis=0).T  # (10, 4T)
+    mask = None if tri_mask is None else tri_mask[None, :]
+    big = jnp.asarray(BIG, dtype)
+
+    block = min(RAY_BLOCK, max(r, 1))
+    r_pad = -(-r // block) * block
+    feats = _ray_features(o, d)
+    if r_pad != r:
+        feats = jnp.pad(feats, ((0, r_pad - r), (0, 0)))
+    feats = feats.reshape(r_pad // block, block, 10)
+
+    def one_block(f):
+        nums = jax.lax.dot_general(
+            f, w_all, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=dtype)                    # (B, 4T)
+        det = nums[:, 0 * t:1 * t]
+        t_num = nums[:, 1 * t:2 * t]
+        u_num = nums[:, 2 * t:3 * t]
+        v_num = nums[:, 3 * t:4 * t]
+
+        s = jnp.where(det >= 0.0, 1.0, -1.0).astype(dtype)
+        adet = det * s
+        if cull:
+            ok = det > eps
+        else:
+            ok = adet > eps
+        us = u_num * s
+        vs = v_num * s
+        ok &= (us >= 0.0) & (us <= adet)
+        ok &= (vs >= 0.0) & (us + vs <= adet)
+        ok &= t_num * s > eps * adet
+        if mask is not None:
+            ok &= mask
+        t_val = t_num / jnp.where(ok, det, 1.0)
+        t_m = jnp.where(ok, t_val, big)
+        best_idx = jnp.argmin(t_m, axis=1).astype(jnp.int32)
+        best_t = jnp.min(t_m, axis=1)
+        return best_idx, best_t < big
+
+    idx, hit = jax.lax.map(one_block, feats)
+    return idx.reshape(-1)[:r], hit.reshape(-1)[:r]

@@ -69,20 +69,50 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
     bg = scene.background
 
     for depth in range(cfg.max_ray_depth + 1):
-        hit = trace(o, d, scene, geom, cfg.epsilon, cull=(depth == 0),
-                    intersector=cfg.intersector, accel=accel)
-        live_w = weight
-        miss_term = live_w * (~hit.mask & miss_bg)
-        contrib = miss_term[:, None] * bg
-        if depth == cfg.max_ray_depth:
-            # Depth cutoff returns background (render.hpp:138-139).
-            contrib = contrib + (live_w * hit.mask)[:, None] * bg
-            accum = accum + contrib.reshape(r0, -1, 3).sum(axis=1)
-            break
-        bounce_key = jax.random.fold_in(key, depth + 1)
-        shade_contrib, (o, d, weight, miss_bg) = shade(
-            scene, geom, hit, d, weight, cfg, bounce_key, accel)
-        contrib = contrib + shade_contrib
+        last = depth == cfg.max_ray_depth
+
+        def bounce_body(args, depth=depth, last=last):
+            o, d, weight, miss_bg = args
+            hit = trace(o, d, scene, geom, cfg.epsilon, cull=(depth == 0),
+                        intersector=cfg.intersector, accel=accel)
+            live_w = weight
+            miss_term = live_w * (~hit.mask & miss_bg)
+            contrib = miss_term[:, None] * bg
+            if last:
+                # Depth cutoff returns background (render.hpp:138-139).
+                contrib = contrib + (live_w * hit.mask)[:, None] * bg
+                return contrib, args
+            bounce_key = jax.random.fold_in(key, depth + 1)
+            shade_contrib, children = shade(
+                scene, geom, hit, d, weight, cfg, bounce_key, accel)
+            return contrib + shade_contrib, children
+
+        def bounce_skip(args):
+            # All rays dead: no contribution, children stay dead.  The
+            # reference's recursion simply does not recurse here; the flat
+            # wavefront must skip explicitly or an all-diffuse scene pays
+            # the full depth budget tracing zero-weight rays.  Outputs are
+            # derived from the inputs (not fresh zeros) so that under
+            # shard_map they inherit the same varying mesh axes as the
+            # real bounce branch.
+            o_, d_, w_, bgm = args
+            contrib = jnp.zeros_like(o_)
+            if last:
+                return contrib, args
+            k = cfg.child_slots
+            return contrib, (
+                jnp.tile(o_ * 0.0, (k, 1)),
+                jnp.tile(d_ * 0.0, (k, 1)).at[:, 2].set(-1.0),
+                jnp.tile(w_ * 0.0, k),
+                jnp.tile(bgm & False, k))
+
+        if depth == 0:
+            contrib, (o, d, weight, miss_bg) = bounce_body(
+                (o, d, weight, miss_bg))
+        else:
+            contrib, (o, d, weight, miss_bg) = jax.lax.cond(
+                jnp.any(weight > 0.0), bounce_body, bounce_skip,
+                (o, d, weight, miss_bg))
         accum = accum + contrib.reshape(r0, -1, 3).sum(axis=1)
 
     return accum
@@ -145,6 +175,9 @@ def render_frame(scene: Scene, cfg: RenderConfig = RenderConfig(),
     if accel is None and cfg.intersector == "kdtree":
         from ..accel.build import build_kdtree_for_scene
         accel = build_kdtree_for_scene(scene)
+    if accel is None and cfg.intersector == "sweep":
+        from ..accel.sweep import build_sweep_for_scene
+        accel = build_sweep_for_scene(scene)
 
     ids_np = make_ray_chunks(scene, cfg, scheduling)
     ids = jnp.asarray(ids_np)

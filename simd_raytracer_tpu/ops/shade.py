@@ -225,7 +225,47 @@ def shade(scene: Scene, geom: Geometry, hit: HitRecord,
         gi_org = (hit.position + cfg.reflection_bias * hit.hit_n)[:, None, :]
         gi_org = jnp.broadcast_to(gi_org, gi_dir.shape)
 
-    # ---- assemble K child slots ------------------------------------
+    hit_live_rr = hit.mask & (weight > 0.0)
+    if cfg.bounce_mode == "roulette":
+        # ---- single stochastic child per ray (flat wavefront) -------
+        # Each ray continues along one child chosen with probability
+        # proportional to its branch weight, scaled to keep the estimator
+        # unbiased: refractive picks reflection w.p. fresnel (weight
+        # carried unchanged), diffuse picks one GI ray uniformly (weight
+        # gi_count/(gi_count+1)).  TIR and reflective have one child
+        # anyway, so only variance on refractive/GI paths changes.
+        r_coin = jax.random.uniform(jax.random.fold_in(key, 1), (n,),
+                                    weight.dtype)
+        c_o = hit.position                      # dead default (w=0)
+        c_d = jnp.zeros((n, 3), weight.dtype).at[:, 2].set(-1.0)
+        c_w = jnp.zeros((n,), weight.dtype)
+        c_bg = jnp.zeros((n,), bool)
+
+        def pick(sel, o_s, d_s, w_s, bg_s: bool):
+            nonlocal c_o, c_d, c_w, c_bg
+            c_o = jnp.where(sel[:, None], o_s, c_o)
+            c_d = jnp.where(sel[:, None], d_s, c_d)
+            c_w = jnp.where(sel, w_s, c_w)
+            if bg_s:
+                c_bg = c_bg | sel
+
+        pick(hit_live_rr & is_reflective, refl_org, refl_dir, weight, True)
+        take_reflect = tir | (r_coin < fresnel)
+        pick(hit_live_rr & is_refractive & take_reflect,
+             r_refl_org, r_refl_dir, weight, False)
+        pick(hit_live_rr & is_refractive & ~take_reflect,
+             refr_org, refr_dir, weight, False)
+        if gi_count > 0:
+            j = jnp.clip((r_coin * gi_count).astype(jnp.int32),
+                         0, gi_count - 1)
+            rows = jnp.arange(n)
+            pick(hit_live_rr & is_diffuse, gi_org[rows, j], gi_dir[rows, j],
+                 weight * gi_count / (gi_count + 1), False)
+
+        children = (c_o, c_d, c_w, c_bg)
+        return contrib, children
+
+    # ---- assemble K child slots (full deterministic split) ----------
     child_o = jnp.zeros((n, k, 3), weight.dtype)
     child_d = jnp.zeros((n, k, 3), weight.dtype)
     child_d = child_d.at[..., 2].set(-1.0)   # harmless default direction

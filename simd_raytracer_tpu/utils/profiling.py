@@ -77,10 +77,14 @@ def profile_render(scene_path: str, cfg=None, scale: float = 1.0,
                                   width=max(8, int(scene.width * scale)))
 
     accel = None
-    if cfg.intersector == "kdtree":
+    if cfg.intersector in ("kdtree", "sweep"):
         with timer.phase("accel_build"):
-            from ..accel.build import build_kdtree_for_scene
-            accel = build_kdtree_for_scene(scene)
+            if cfg.intersector == "kdtree":
+                from ..accel.build import build_kdtree_for_scene
+                accel = build_kdtree_for_scene(scene)
+            else:
+                from ..accel.sweep import build_sweep_for_scene
+                accel = build_sweep_for_scene(scene)
 
     with timer.phase("compile"):
         img = render_frame(scene, cfg, accel=accel)
