@@ -42,26 +42,63 @@ class SweepData:
         return int(self.tri_ids.shape[0])
 
 
-def build_sweep_for_scene(scene, max_depth: int = 12,
-                          max_leaf: int = SLICE) -> SweepData:
-    """Chop a kd-tree's leaves into tight 128-triangle slices.
+def _morton_order(tri_min: np.ndarray, tri_max: np.ndarray,
+                  ids: np.ndarray) -> np.ndarray:
+    """Sort triangle ids along a 30-bit Morton curve of their centroids.
 
-    max_depth=12 goes deeper than the reference's 8 (kd_tree_simd.hpp:65)
-    because slice tightness is what buys block culling; duplication across
-    slices costs only padded lanes.
-    """
+    Nearby triangles land in the same 128-slice, which is what makes the
+    per-slice AABBs tight enough for block culling — without the
+    both-children duplication a kd split incurs (kd_tree_simd.hpp:160-170
+    pays it; a disjoint partition never does)."""
+    if len(ids) == 0:
+        return ids
+    c = 0.5 * (tri_min[ids] + tri_max[ids])
+    lo = c.min(axis=0)
+    span = np.maximum(c.max(axis=0) - lo, 1e-30)
+    q = np.minimum((1023.0 * (c - lo) / span), 1023.0).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+    return ids[np.argsort(code, kind="stable")]
+
+
+def build_sweep_for_scene(scene, partition: str = "morton",
+                          max_depth: int = 12,
+                          max_leaf: int = SLICE) -> SweepData:
+    """Pack triangles into tight 128-triangle slices.
+
+    partition="morton" (default): disjoint slices of 128 consecutive
+    triangles along a Morton curve — exactly ceil(T/128) slices, zero
+    duplication, so the sweep never tests more lanes than brute force and
+    culling is pure profit.  partition="kdleaf": slices from a
+    deeper-than-reference kd build (duplication across slices costs
+    padded lanes but boxes can be tighter)."""
     vertices = np.asarray(scene.vertices)
     tri_vidx = np.asarray(scene.tri_vidx)
     valid = np.asarray(scene.tri_valid)
     tri_min, tri_max = triangle_aabbs(vertices, tri_vidx)
-    tree = build_kdtree(tri_min, tri_max, valid, max_depth, max_leaf)
 
-    leaf_rows = np.asarray(tree.leaf_tris)
     slices = []
-    for row in leaf_rows:
-        tris = row[row >= 0]
-        for s in range(0, len(tris), SLICE):
-            slices.append(tris[s:s + SLICE])
+    if partition == "morton":
+        order = _morton_order(tri_min, tri_max,
+                              np.flatnonzero(valid).astype(np.int32))
+        for s in range(0, len(order), SLICE):
+            slices.append(order[s:s + SLICE])
+    elif partition == "kdleaf":
+        tree = build_kdtree(tri_min, tri_max, valid, max_depth, max_leaf)
+        for row in np.asarray(tree.leaf_tris):
+            tris = row[row >= 0]
+            for s in range(0, len(tris), SLICE):
+                slices.append(tris[s:s + SLICE])
+    else:
+        raise ValueError(partition)
     if not slices:
         slices.append(np.zeros(0, np.int32))
 

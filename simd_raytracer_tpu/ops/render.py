@@ -132,6 +132,23 @@ def _render_ids(scene: Scene, cfg: RenderConfig,
     return jax.lax.map(one, (ids, keys))
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _render_image(scene: Scene, cfg: RenderConfig,
+                  ids: jnp.ndarray, keys: jnp.ndarray,
+                  accel=None) -> jnp.ndarray:
+    """Whole-frame jit: linear-ordered chunks -> (H, W, 3) on device.
+
+    Keeps the spp average and reshape on the chip so the host round trip
+    (expensive on tunneled TPUs) moves only the final image.
+    """
+    h, w, spp = scene.height, scene.width, cfg.samples_per_pixel
+    total = h * w * spp
+    colors = _render_ids.__wrapped__(scene, cfg, ids, keys, accel)
+    flat = colors.reshape(-1, 3)[:total]
+    img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
+    return img.reshape(h, w, 3)
+
+
 def make_ray_chunks(scene: Scene, cfg: RenderConfig, scheduling=None):
     """Host-side: (C, R0) int32 ray-id array covering H*W*spp, padded.
 
@@ -182,15 +199,15 @@ def render_frame(scene: Scene, cfg: RenderConfig = RenderConfig(),
     ids_np = make_ray_chunks(scene, cfg, scheduling)
     ids = jnp.asarray(ids_np)
     keys = jax.random.split(key, ids.shape[0])
+    if scheduling is None:
+        # Fast path: everything through the final (H, W, 3) image stays
+        # on device; only the image crosses the host link.
+        return _render_image(scene, cfg, ids, keys, accel)
     colors = _render_ids(scene, cfg, ids, keys, accel)
+    # Scatter tile-ordered chunks back to pixel-major order.
     flat = np.asarray(colors).reshape(-1, 3)
-    if scheduling is not None:
-        # Scatter tile-ordered chunks back to pixel-major order.
-        out = np.zeros((total, 3), flat.dtype)
-        sel = ids_np.reshape(-1) < total
-        out[ids_np.reshape(-1)[sel]] = flat[sel]
-        flat = jnp.asarray(out)
-    else:
-        flat = jnp.asarray(flat[:total])
-    img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
-    return img.reshape(h, w, 3)
+    out = np.zeros((total, 3), flat.dtype)
+    sel = ids_np.reshape(-1) < total
+    out[ids_np.reshape(-1)[sel]] = flat[sel]
+    img = out.reshape(h * w, spp, 3).sum(axis=1) / spp
+    return jnp.asarray(img.reshape(h, w, 3))
