@@ -61,6 +61,11 @@ class RenderConfig:
     # image, more variance on refractive/GI paths, ~child_slots^depth less
     # compute (SURVEY.md §7 hard part (c)).
     bounce_mode: str = "split"
+    # Wavefront compaction (roulette only): when the live-ray count of a
+    # bounce fits in chunk/compact_factor slots, the bounce runs at that
+    # reduced width (exact — dead rays neither shade nor spawn).  1
+    # disables.  Costs one extra compiled branch per bounce.
+    compact_factor: int = 4
 
     def __post_init__(self):
         if self.occlusion_mode not in ("fast", "march"):

@@ -106,13 +106,48 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
                 jnp.tile(w_ * 0.0, k),
                 jnp.tile(bgm & False, k))
 
+        def bounce_compact(args, cap):
+            # Exact compaction (roulette's flat wavefront only): when the
+            # live set fits in cap slots, gather it, run the bounce at
+            # 1/4 width, and scatter children back.  The stable argsort
+            # puts alive rays first; results are identical to the full
+            # bounce because dead rays contribute nothing and spawn
+            # nothing.  This recovers the sparsity the reference gets for
+            # free from recursion (dead paths simply return).
+            o_, d_, w_, bgm = args
+            n = w_.shape[0]
+            idx = jnp.argsort(~(w_ > 0.0), stable=True)[:cap]
+            sub = (o_[idx], d_[idx], w_[idx], bgm[idx])
+            contrib_c, (oc, dc, wc, bgc) = bounce_body(sub)
+            contrib = jnp.zeros((n, 3), dtype).at[idx].set(contrib_c)
+            o2 = o_.at[idx].set(oc)
+            d2 = d_.at[idx].set(dc)
+            w2 = jnp.zeros_like(w_).at[idx].set(wc)
+            bg2 = jnp.zeros_like(bgm).at[idx].set(bgc)
+            return contrib, (o2, d2, w2, bg2)
+
         if depth == 0:
             contrib, (o, d, weight, miss_bg) = bounce_body(
                 (o, d, weight, miss_bg))
         else:
-            contrib, (o, d, weight, miss_bg) = jax.lax.cond(
-                jnp.any(weight > 0.0), bounce_body, bounce_skip,
-                (o, d, weight, miss_bg))
+            compactable = (cfg.bounce_mode == "roulette"
+                           and cfg.compact_factor > 1
+                           and weight.shape[0] % cfg.compact_factor == 0
+                           and not last)
+            if compactable:
+                cap = weight.shape[0] // cfg.compact_factor
+                alive_n = jnp.sum(weight > 0.0)
+                contrib, (o, d, weight, miss_bg) = jax.lax.cond(
+                    alive_n == 0, bounce_skip,
+                    lambda args: jax.lax.cond(
+                        alive_n <= cap,
+                        functools.partial(bounce_compact, cap=cap),
+                        bounce_body, args),
+                    (o, d, weight, miss_bg))
+            else:
+                contrib, (o, d, weight, miss_bg) = jax.lax.cond(
+                    jnp.any(weight > 0.0), bounce_body, bounce_skip,
+                    (o, d, weight, miss_bg))
         accum = accum + contrib.reshape(r0, -1, 3).sum(axis=1)
 
     return accum
