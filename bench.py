@@ -25,16 +25,20 @@ def main() -> int:
     ap.add_argument("--scene",
                     default="/root/reference/scenes/hw15/scene2.crtscene")
     ap.add_argument("--spp", type=int, default=4)
-    ap.add_argument("--scale", type=float, default=1.0,
+    ap.add_argument("--scale", type=float, default=0.5,
                     help="resolution scale on the scene's native HxW")
-    ap.add_argument("--chunk", type=int, default=8192)
+    ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--intersector", default="jnp",
                     choices=["jnp", "pallas", "mxu", "kdtree", "sweep"])
-    ap.add_argument("--bounce-mode", default="split",
+    # roulette is the production default: unbiased (identical in
+    # expectation to the reference's full recursion split, bitwise equal
+    # on non-branching scenes) with a flat wavefront.
+    ap.add_argument("--bounce-mode", default="roulette",
                     choices=["split", "roulette"])
-    ap.add_argument("--backward", action="store_true",
-                    help="also time fwd+bwd gradient throughput")
+    ap.add_argument("--no-backward", dest="backward", action="store_false",
+                    help="skip the fwd+bwd gradient throughput timing")
+    ap.set_defaults(backward=True)
     args = ap.parse_args()
 
     from simd_raytracer_tpu import RenderConfig, parse_scene_file, render_frame

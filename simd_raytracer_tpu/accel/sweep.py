@@ -71,15 +71,20 @@ def _morton_order(tri_min: np.ndarray, tri_max: np.ndarray,
 
 def build_sweep_for_scene(scene, partition: str = "morton",
                           max_depth: int = 12,
-                          max_leaf: int = SLICE) -> SweepData:
-    """Pack triangles into tight 128-triangle slices.
+                          max_leaf: int = SLICE,
+                          slice_size: int = 512) -> SweepData:
+    """Pack triangles into tight slice_size-triangle slices.
 
-    partition="morton" (default): disjoint slices of 128 consecutive
-    triangles along a Morton curve — exactly ceil(T/128) slices, zero
-    duplication, so the sweep never tests more lanes than brute force and
-    culling is pure profit.  partition="kdleaf": slices from a
+    partition="morton" (default): disjoint slices of consecutive
+    triangles along a Morton curve — exactly ceil(T/slice_size) slices,
+    zero duplication, so the sweep never tests more lanes than brute
+    force and culling is pure profit.  partition="kdleaf": slices from a
     deeper-than-reference kd build (duplication across slices costs
-    padded lanes but boxes can be tighter)."""
+    padded lanes but boxes can be tighter).
+
+    slice_size=512 (4 VPU lane groups) balances Pallas grid-step overhead
+    against culling granularity on v5e; 128 culls finer but pays ~4x more
+    per-step overhead."""
     vertices = np.asarray(scene.vertices)
     tri_vidx = np.asarray(scene.tri_vidx)
     valid = np.asarray(scene.tri_valid)
@@ -89,22 +94,22 @@ def build_sweep_for_scene(scene, partition: str = "morton",
     if partition == "morton":
         order = _morton_order(tri_min, tri_max,
                               np.flatnonzero(valid).astype(np.int32))
-        for s in range(0, len(order), SLICE):
-            slices.append(order[s:s + SLICE])
+        for s in range(0, len(order), slice_size):
+            slices.append(order[s:s + slice_size])
     elif partition == "kdleaf":
         tree = build_kdtree(tri_min, tri_max, valid, max_depth, max_leaf)
         for row in np.asarray(tree.leaf_tris):
             tris = row[row >= 0]
-            for s in range(0, len(tris), SLICE):
-                slices.append(tris[s:s + SLICE])
+            for s in range(0, len(tris), slice_size):
+                slices.append(tris[s:s + slice_size])
     else:
         raise ValueError(partition)
     if not slices:
         slices.append(np.zeros(0, np.int32))
 
     s_count = len(slices)
-    tri_ids = np.full((s_count, SLICE), -1, np.int32)
-    tri_soa = np.zeros((s_count, 9, SLICE), np.float32)
+    tri_ids = np.full((s_count, slice_size), -1, np.int32)
+    tri_soa = np.zeros((s_count, 9, slice_size), np.float32)
     aabb = np.zeros((s_count, 8), np.float32)
 
     corners = vertices[tri_vidx]                   # (T, 3, 3)

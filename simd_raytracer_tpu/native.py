@@ -36,6 +36,17 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     _lib_tried = True
     if not _LIB_PATH.exists():
+        # First use on a fresh checkout: compile the native components
+        # (cheap, ~2 s).  Opt out with SRT_NO_NATIVE_BUILD=1.
+        if (os.environ.get("SRT_NO_NATIVE_BUILD")
+                or not (_NATIVE_DIR / "Makefile").exists()):
+            return None
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)],
+                           capture_output=True, timeout=120)
+        except (OSError, subprocess.TimeoutExpired):
+            return None
+    if not _LIB_PATH.exists():
         return None
     try:
         lib = ctypes.CDLL(str(_LIB_PATH))

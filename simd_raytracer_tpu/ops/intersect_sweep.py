@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 3.4e38
 IMAX = 2**31 - 1
 
-R_TILE = 256
+R_TILE = 512
 
 
 def _kernel(o_ref, d_ref, tri_ref, aabb_ref, ids_ref, mask_ref,

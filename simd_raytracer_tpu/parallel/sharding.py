@@ -46,7 +46,8 @@ def init_distributed(**kwargs) -> None:
 
 
 def render_frame_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
-                         key: Optional[jax.Array] = None) -> jnp.ndarray:
+                         key: Optional[jax.Array] = None,
+                         accel=None) -> jnp.ndarray:
     """Full-frame render with the chunk axis sharded over the mesh.
 
     Ray-id chunks are dealt round-robin to shards (chunk c -> shard
@@ -74,7 +75,8 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     seeds = np.arange(c_pad, dtype=np.uint32)[perm].reshape(nd, -1)
 
     out = _render_sharded_jit(scene, cfg, mesh, key,
-                              jnp.asarray(ids_sharded), jnp.asarray(seeds))
+                              jnp.asarray(ids_sharded), jnp.asarray(seeds),
+                              accel)
     # undo round-robin: out is (nd, C/nd, R0, 3)
     flat = np.asarray(out).reshape(c_pad, r0, 3)
     inv = np.empty_like(perm)
@@ -87,28 +89,30 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                         key: jax.Array, ids: jnp.ndarray,
-                        seeds: jnp.ndarray):
-    def shard_fn(scene_rep, key_rep, ids_shard, seeds_shard):
-        # ids_shard: (1, C/nd, R0) on this device; scene+key replicated.
+                        seeds: jnp.ndarray, accel=None):
+    def shard_fn(scene_rep, key_rep, ids_shard, seeds_shard, accel_rep):
+        # ids_shard: (1, C/nd, R0) on this device; scene+accel replicated.
         geom = derive_geometry(scene_rep)
 
         def one(args):
             cid, seed = args
             return render_chunk(scene_rep, geom, cfg, cid,
-                                jax.random.fold_in(key_rep, seed))
+                                jax.random.fold_in(key_rep, seed),
+                                accel_rep)
 
         return jax.lax.map(one, (ids_shard[0], seeds_shard[0]))[None]
 
     return shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=P(DATA_AXIS),
-    )(scene, key, ids, seeds)
+    )(scene, key, ids, seeds, accel)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "lr"))
 def train_step_sharded(params, skeleton: Scene, cfg: RenderConfig,
-                       mesh: Mesh, ids, target, seeds, lr: float = 1e-2):
+                       mesh: Mesh, ids, target, seeds, lr: float = 1e-2,
+                       accel=None):
     """One data-parallel inverse-rendering SGD step.
 
     ids (nd, N) ray ids and target (nd, N, 3) colors are sharded over the
@@ -117,11 +121,11 @@ def train_step_sharded(params, skeleton: Scene, cfg: RenderConfig,
     as the batch dimension (SURVEY.md §2 parallelism note).
     """
 
-    def shard_fn(params_rep, skel_rep, ids_s, tgt_s, seed_s):
+    def shard_fn(params_rep, skel_rep, ids_s, tgt_s, seed_s, accel_rep):
         key = jax.random.PRNGKey(0)
         key = jax.random.fold_in(key, seed_s[0, 0])
         loss, grads = jax.value_and_grad(pixel_loss)(
-            params_rep, skel_rep, cfg, ids_s[0], tgt_s[0], key)
+            params_rep, skel_rep, cfg, ids_s[0], tgt_s[0], key, accel_rep)
         loss = jax.lax.pmean(loss, DATA_AXIS)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         new_params = jax.tree_util.tree_map(
@@ -130,6 +134,6 @@ def train_step_sharded(params, skeleton: Scene, cfg: RenderConfig,
 
     return shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
-    )(params, skeleton, ids, target, seeds)
+    )(params, skeleton, ids, target, seeds, accel)

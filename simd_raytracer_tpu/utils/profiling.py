@@ -48,6 +48,55 @@ def device_trace(log_dir: Optional[str]):
         yield
 
 
+def wavefront_occupancy(scene, cfg, ray_ids, key=None, accel=None):
+    """Per-bounce live-ray counts for one chunk (SURVEY.md §5 metrics:
+    'per-bounce wavefront occupancy counters').
+
+    Returns a list of ints: entry d is how many rays enter bounce d with
+    nonzero throughput.  Diagnoses when roulette compaction
+    (config.compact_factor) will engage and how much of the depth budget
+    a scene actually uses.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.scene import derive_geometry
+    from ..ops.intersect import trace
+    from ..ops.shade import shade
+
+    if key is None:
+        key = jax.random.PRNGKey(cfg.rng_seed or 0)
+
+    @jax.jit
+    def counts(ray_ids, key):
+        geom = derive_geometry(scene)
+        from ..models.camera import primary_rays
+
+        r0 = ray_ids.shape[0]
+        spp = cfg.samples_per_pixel
+        total = scene.height * scene.width * spp
+        valid = ray_ids < total
+        ids = jnp.minimum(ray_ids, total - 1)
+        pix = ids // spp
+        jx = jnp.full((r0,), 0.5, jnp.float32)
+        o, d = primary_rays(scene, cfg.fov_degrees, pix % scene.width,
+                            pix // scene.width, jx, jx)
+        weight = valid.astype(jnp.float32)
+        out = []
+        for depth in range(cfg.max_ray_depth + 1):
+            out.append(jnp.sum(weight > 0.0))
+            if depth == cfg.max_ray_depth:
+                break
+            hit = trace(o, d, scene, geom, cfg.epsilon, cull=(depth == 0),
+                        intersector=cfg.intersector, accel=accel)
+            _, (o, d, weight, _) = shade(
+                scene, geom, hit, d, weight, cfg,
+                jax.random.fold_in(key, depth + 1), accel)
+        return jnp.stack(out)
+
+    return [int(c) for c in counts(ray_ids, key)]
+
+
 def profile_render(scene_path: str, cfg=None, scale: float = 1.0,
                    repeats: int = 3, trace_dir: Optional[str] = None,
                    backward: bool = False) -> Dict[str, float]:
