@@ -29,8 +29,11 @@ def main() -> int:
                     help="resolution scale on the scene's native HxW")
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--intersector", default="jnp",
-                    choices=["jnp", "pallas", "mxu", "kdtree", "sweep"])
+    # "fast" = bilinear triple-product select; XLA lifts its outer-product
+    # sums onto the MXU (~40x the fused-VPU path), winners identical to
+    # "jnp" except last-ulp ties at shared triangle edges.
+    ap.add_argument("--intersector", default="fast",
+                    choices=["jnp", "fast", "pallas", "mxu", "kdtree", "sweep"])
     # roulette is the production default: unbiased (identical in
     # expectation to the reference's full recursion split, bitwise equal
     # on non-branching scenes) with a flat wavefront.

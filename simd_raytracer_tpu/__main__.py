@@ -28,7 +28,7 @@ def main(argv=None) -> int:
                     help="override scene width")
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--intersector", default="jnp",
-                    choices=["jnp", "pallas", "mxu", "kdtree", "sweep"])
+                    choices=["jnp", "fast", "pallas", "mxu", "kdtree", "sweep"])
     ap.add_argument("--bounce-mode", default="split",
                     choices=["split", "roulette"],
                     help="split = reference's full recursion tree; "

@@ -70,8 +70,8 @@ class RenderConfig:
     def __post_init__(self):
         if self.occlusion_mode not in ("fast", "march"):
             raise ValueError(f"bad occlusion_mode {self.occlusion_mode!r}")
-        if self.intersector not in ("jnp", "pallas", "mxu", "kdtree",
-                                    "sweep"):
+        if self.intersector not in ("jnp", "fast", "pallas", "mxu",
+                                    "kdtree", "sweep"):
             raise ValueError(f"bad intersector {self.intersector!r}")
         if self.bounce_mode not in ("split", "roulette"):
             raise ValueError(f"bad bounce_mode {self.bounce_mode!r}")

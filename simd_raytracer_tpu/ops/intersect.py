@@ -171,6 +171,9 @@ def make_select_fn(intersector: str, accel=None):
     if intersector == "mxu":
         from .intersect_mxu import mt_select_mxu
         return mt_select_mxu
+    if intersector == "fast":
+        from .intersect_mxu import mt_select_fast
+        return mt_select_fast
     if intersector == "sweep":
         if accel is None:
             raise ValueError("intersector='sweep' needs an accel: build "

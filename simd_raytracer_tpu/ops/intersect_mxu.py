@@ -64,6 +64,72 @@ def _ray_features(o, d):
     return jnp.concatenate([o, d, jnp.cross(o, d), ones], axis=1)  # (R, 10)
 
 
+def mt_select_fast(
+    o: jnp.ndarray,            # (R, 3)
+    d: jnp.ndarray,            # (R, 3)
+    v0: jnp.ndarray,           # (T, 3)
+    e1: jnp.ndarray,
+    e2: jnp.ndarray,
+    eps: float,
+    cull: bool,
+    tri_mask: Optional[jnp.ndarray] = None,
+):
+    """Pure-VPU bilinear select: the same triple-product factorization as
+    the MXU path but as broadcast elementwise ops — ~33 ops/pair vs ~55
+    for classic Moller-Trumbore, no matmul intermediates.
+
+    Numerically it differs from the classic formulation in the last ulps
+    (the tvec subtraction is distributed over the products), so exact-tie
+    winners at shared triangle edges can flip; the differentiable refine
+    recomputes the winner's exact t/u/v either way.  Division-free accept
+    tests; one division for the min-reduce key.
+    """
+    n = jnp.cross(e1, e2)                         # (T, 3)
+    v0n = jnp.sum(v0 * n, axis=1)                 # (T,)
+    wu = jnp.cross(v0, e2)                        # d-coefficient of u_num
+    wv = jnp.cross(e1, v0)                        # d-coefficient of v_num
+    c = jnp.cross(o, d)                           # (R, 3) once per ray
+
+    def row(a, k):          # (T,) -> (1, T)
+        return a[None, :, k] if a.ndim == 2 else a[None, :]
+
+    def col(a, k):          # (R,) -> (R, 1)
+        return a[:, k:k + 1]
+
+    det = -(col(d, 0) * row(n, 0) + col(d, 1) * row(n, 1)
+            + col(d, 2) * row(n, 2))
+    t_num = (col(o, 0) * row(n, 0) + col(o, 1) * row(n, 1)
+             + col(o, 2) * row(n, 2)) - v0n[None, :]
+    u_num = (col(c, 0) * row(e2, 0) + col(c, 1) * row(e2, 1)
+             + col(c, 2) * row(e2, 2)
+             + col(d, 0) * row(wu, 0) + col(d, 1) * row(wu, 1)
+             + col(d, 2) * row(wu, 2))
+    v_num = (col(d, 0) * row(wv, 0) + col(d, 1) * row(wv, 1)
+             + col(d, 2) * row(wv, 2)
+             - (col(c, 0) * row(e1, 0) + col(c, 1) * row(e1, 1)
+                + col(c, 2) * row(e1, 2)))
+
+    s = jnp.where(det >= 0.0, 1.0, -1.0).astype(o.dtype)
+    adet = det * s
+    if cull:
+        ok = det > eps
+    else:
+        ok = adet > eps
+    us = u_num * s
+    vs = v_num * s
+    ok &= (us >= 0.0) & (us <= adet)
+    ok &= (vs >= 0.0) & (us + vs <= adet)
+    ok &= t_num * s > eps * adet
+    if tri_mask is not None:
+        ok &= tri_mask[None, :]
+
+    t_val = t_num / jnp.where(ok, det, 1.0)
+    t_m = jnp.where(ok, t_val, BIG)
+    best_idx = jnp.argmin(t_m, axis=1).astype(jnp.int32)
+    best_t = jnp.min(t_m, axis=1)
+    return best_idx, best_t < BIG
+
+
 def mt_select_mxu(
     o: jnp.ndarray,            # (R, 3)
     d: jnp.ndarray,            # (R, 3)

@@ -48,6 +48,41 @@ def test_roulette_identical_when_no_branching():
     assert np.array_equal(a, b)
 
 
+def test_fast_select_matches_vpu():
+    from simd_raytracer_tpu.ops.intersect_mxu import mt_select_fast
+
+    scene = parse_scene_file(str(SCENES / "hw11/scene8.crtscene"))
+    geom = derive_geometry(scene)
+    rng = np.random.default_rng(2)
+    r = 1024
+    o = np.tile(np.asarray(scene.cam_pos), (r, 1)).astype(np.float32)
+    o[r // 2:] += rng.normal(scale=2.0, size=(r // 2, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+    for cull in (True, False):
+        bi, bh = mt_select(o, d, geom.v0, geom.e1, geom.e2, 1e-6, cull,
+                           geom.tri_valid)
+        fi, fh = mt_select_fast(o, d, geom.v0, geom.e1, geom.e2, 1e-6,
+                                cull, geom.tri_valid)
+        assert (np.asarray(bh) == np.asarray(fh)).mean() > 0.999
+        both = np.asarray(bh) & np.asarray(fh)
+        assert (np.asarray(bi)[both] == np.asarray(fi)[both]).mean() > 0.999
+
+
+def test_fast_render_matches_jnp():
+    scene = parse_scene_file(str(SCENES / "hw11/scene1.crtscene")).replace(
+        height=16, width=20)
+    a = np.asarray(render_frame(
+        scene, RenderConfig(chunk_size=2048, max_ray_depth=3,
+                            samples_per_pixel=4)))
+    b = np.asarray(render_frame(
+        scene, RenderConfig(chunk_size=2048, max_ray_depth=3,
+                            samples_per_pixel=4, intersector="fast")))
+    scale = np.maximum(1.0, np.abs(a))
+    assert (np.abs(a - b) <= 2e-3 * scale).mean() > 0.99
+
+
 def test_mxu_select_matches_vpu():
     scene = parse_scene_file(str(SCENES / "hw11/scene8.crtscene"))
     geom = derive_geometry(scene)
