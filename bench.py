@@ -42,7 +42,36 @@ def main() -> int:
     ap.add_argument("--no-backward", dest="backward", action="store_false",
                     help="skip the fwd+bwd gradient throughput timing")
     ap.set_defaults(backward=True)
+    ap.add_argument("--_phase", default=None, choices=["forward", "backward"],
+                    help=argparse.SUPPRESS)   # internal: single-phase run
     args = ap.parse_args()
+
+    # The tunneled TPU backend errors when a previously-run executable is
+    # re-executed after a different executable has run (InvalidArgument),
+    # so the forward and backward phases each get a fresh process.
+    if args.backward and args._phase is None:
+        import subprocess
+        base = [sys.executable, __file__,
+                "--scene", args.scene, "--spp", str(args.spp),
+                "--scale", str(args.scale), "--chunk", str(args.chunk),
+                "--repeats", str(args.repeats),
+                "--intersector", args.intersector,
+                "--bounce-mode", args.bounce_mode]
+        fwd = subprocess.run(base + ["--_phase", "forward"],
+                             capture_output=True, text=True)
+        bwd = subprocess.run(base + ["--_phase", "backward"],
+                             capture_output=True, text=True)
+        if fwd.returncode != 0:
+            sys.stderr.write(fwd.stderr)
+            return 1
+        result = json.loads(fwd.stdout.strip().splitlines()[-1])
+        if bwd.returncode == 0 and bwd.stdout.strip():
+            result["detail"].update(
+                json.loads(bwd.stdout.strip().splitlines()[-1]))
+        else:
+            sys.stderr.write(bwd.stderr)
+        print(json.dumps(result))
+        return 0
 
     from simd_raytracer_tpu import RenderConfig, parse_scene_file, render_frame
 
@@ -62,31 +91,72 @@ def main() -> int:
         from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
         accel = build_sweep_for_scene(scene)
 
+    # Backward metric FIRST: executing grad programs after a frame
+    # render trips a tunnel-backend InvalidArgument on repeat
+    # executions (fresh-process grads repeat fine), so measure the
+    # fwd+bwd step before any forward frame runs.
+    bwd_metrics = {}
+    if args.backward and args._phase == "backward":
+        import jax.numpy as jnp
+        from simd_raytracer_tpu.ops.grad import loss_and_grad, split_params
+
+        params, skeleton = split_params(scene)
+        n = min(h * w, args.chunk)
+        ids = jnp.arange(n, dtype=jnp.int32)
+        target = jnp.zeros((n, 3), jnp.float32)
+        key = jax.random.PRNGKey(0)
+        loss0, _ = loss_and_grad(params, skeleton, cfg, ids, target, key,
+                                 accel)
+        float(loss0)   # forced warmup (see force() note above)
+        # Sequential forced steps: pipelining grad steps behind a frame
+        # render trips a tunnel-backend InvalidArgument, so this number
+        # includes one host round trip per step (slightly understated).
+        n_steps = 8
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            loss_i, _ = loss_and_grad(params, skeleton, cfg, ids, target,
+                                      jax.random.PRNGKey(i), accel)
+            assert np.isfinite(float(loss_i))
+        per_step = (time.perf_counter() - t0) / n_steps
+        bwd_metrics = {"fwd_bwd_rays_per_sec": round(n / per_step, 1),
+                       "fwd_bwd_rays": n}
+        print(json.dumps(bwd_metrics))
+        return 0
+
     rays = h * w * args.spp
 
-    # warmup (compile)
-    img = render_frame(scene, cfg, accel=accel)
-    jax.block_until_ready(img)
+    import jax.numpy as jnp
 
-    # Single-frame latency (includes one host<->device round trip — on
-    # tunneled TPUs that alone is ~20 ms).
+    def force(x):
+        # On tunneled TPUs jax.block_until_ready can return before the
+        # computation finishes (measured: a 1.5 s frame "completes" in
+        # 4 ms).  The only reliable fence is a host readback, so every
+        # timing here reduces the output to a scalar on device and
+        # transfers 4 bytes.
+        return float(jnp.sum(x))
+
+    # warmup (compile)
+    force(render_frame(scene, cfg, accel=accel))
+
+    # Single-frame latency (dispatch -> forced completion).
     times = []
     for _ in range(args.repeats):
         t0 = time.perf_counter()
-        img = render_frame(scene, cfg, accel=accel)
-        jax.block_until_ready(img)
+        force(render_frame(scene, cfg, accel=accel))
         times.append(time.perf_counter() - t0)
     latency = min(times)
 
-    # Steady-state throughput: pipeline frames back to back (independent
-    # keys), sync once.  This is what a production render/serving loop
-    # sees; the host link latency amortizes away.
-    n_pipe = max(4, int(0.5 / max(latency, 1e-3)))
+    # Steady-state throughput: dispatch frames back to back (independent
+    # keys), then force each scalar — in-flight frames overlap the host
+    # round trips, like a production render/serving loop.
+    n_pipe = max(4, min(32, int(2.0 / max(latency, 1e-3))))
     keys = [jax.random.PRNGKey(1000 + i) for i in range(n_pipe)]
     t0 = time.perf_counter()
-    imgs = [render_frame(scene, cfg, key=k, accel=accel) for k in keys]
-    jax.block_until_ready(imgs)
+    sums = [jnp.sum(render_frame(scene, cfg, key=k, accel=accel))
+            for k in keys]
+    vals = [float(s) for s in sums]
     per_frame = (time.perf_counter() - t0) / n_pipe
+    assert all(np.isfinite(v) for v in vals)
     rays_per_sec = rays / per_frame
 
     baseline = 21e6  # BASELINE.md derived reference anchor
@@ -105,27 +175,7 @@ def main() -> int:
             "device": str(jax.devices()[0]),
         },
     }
-
-    if args.backward:
-        import jax.numpy as jnp
-        from simd_raytracer_tpu.ops.grad import loss_and_grad, split_params
-
-        params, skeleton = split_params(scene)
-        n = min(h * w, args.chunk)
-        ids = jnp.arange(n, dtype=jnp.int32)
-        target = jnp.zeros((n, 3), jnp.float32)
-        key = jax.random.PRNGKey(0)
-        out = loss_and_grad(params, skeleton, cfg, ids, target, key, accel)
-        jax.block_until_ready(out)
-        n_pipe = 16        # pipelined: hide the host-link sync latency
-        t0 = time.perf_counter()
-        outs = [loss_and_grad(params, skeleton, cfg, ids, target,
-                              jax.random.PRNGKey(i), accel)
-                for i in range(n_pipe)]
-        jax.block_until_ready(outs)
-        per_step = (time.perf_counter() - t0) / n_pipe
-        result["detail"]["fwd_bwd_rays_per_sec"] = round(n / per_step, 1)
-        result["detail"]["fwd_bwd_rays"] = n
+    result["detail"].update(bwd_metrics)
 
     print(json.dumps(result))
     return 0
