@@ -66,6 +66,13 @@ class RenderConfig:
     # reduced width (exact — dead rays neither shade nor spawn).  1
     # disables.  Costs one extra compiled branch per bounce.
     compact_factor: int = 4
+    # Per-bounce lax.cond skips (dead-wavefront early exit, unlit-ray
+    # occlusion skip, compaction dispatch).  Identical rendered values
+    # either way — False trades the sparse-bounce savings for a
+    # cond-free graph.  XLA:CPU corrupts memory differentiating these
+    # conds inside shard_map (latent heap corruption, bisected), so the
+    # sharded train step forces False; TPU is unaffected.
+    bounce_skip: bool = True
 
     def __post_init__(self):
         if self.occlusion_mode not in ("fast", "march"):

@@ -126,7 +126,7 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
             bg2 = jnp.zeros_like(bgm).at[idx].set(bgc)
             return contrib, (o2, d2, w2, bg2)
 
-        if depth == 0:
+        if depth == 0 or not cfg.bounce_skip:
             contrib, (o, d, weight, miss_bg) = bounce_body(
                 (o, d, weight, miss_bg))
         else:

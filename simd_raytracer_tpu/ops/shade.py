@@ -164,11 +164,14 @@ def shade(scene: Scene, geom: Geometry, hit: HitRecord,
     # (e.g. purely reflective/refractive wavefronts mid-flight) — the
     # recursion analog is that those material branches never run the
     # per-light loop (render.hpp:184-206).
-    any_lit = jnp.any(lit & hit.mask & (weight > 0.0))
-    factor = jax.lax.cond(
-        any_lit,
-        lambda: direct_light_factor(scene, geom, hit, cfg, accel),
-        lambda: jnp.zeros_like(weight))
+    if cfg.bounce_skip:
+        any_lit = jnp.any(lit & hit.mask & (weight > 0.0))
+        factor = jax.lax.cond(
+            any_lit,
+            lambda: direct_light_factor(scene, geom, hit, cfg, accel),
+            lambda: jnp.zeros_like(weight))
+    else:
+        factor = direct_light_factor(scene, geom, hit, cfg, accel)
     factor = jnp.where(lit, factor, 0.0)
     tex_color = sample_texture(scene, hit.tex, hit.u, hit.v, hit.w, hit.uvs)
     surf_color = jnp.where(is_texture[:, None], tex_color, hit.albedo)

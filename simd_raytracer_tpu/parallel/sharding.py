@@ -121,6 +121,12 @@ def train_step_sharded(params, skeleton: Scene, cfg: RenderConfig,
     as the batch dimension (SURVEY.md §2 parallelism note).
     """
 
+    # XLA:CPU heap-corrupts when differentiating the per-bounce lax.cond
+    # skips inside shard_map (bisected; values are identical either way),
+    # so the sharded train step always runs the cond-free graph.
+    import dataclasses
+    cfg = dataclasses.replace(cfg, bounce_skip=False)
+
     def shard_fn(params_rep, skel_rep, ids_s, tgt_s, seed_s, accel_rep):
         key = jax.random.PRNGKey(0)
         key = jax.random.fold_in(key, seed_s[0, 0])
