@@ -74,22 +74,27 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     # reference's thread_local LCG, utils/rand.hpp:5-19).
     seeds = np.arange(c_pad, dtype=np.uint32)[perm].reshape(nd, -1)
 
-    out = _render_sharded_jit(scene, cfg, mesh, key,
-                              jnp.asarray(ids_sharded), jnp.asarray(seeds),
-                              accel)
-    # undo round-robin: out is (nd, C/nd, R0, 3)
-    flat = np.asarray(out).reshape(c_pad, r0, 3)
-    inv = np.empty_like(perm)
-    inv[perm] = np.arange(c_pad)
-    flat = flat[inv][:c].reshape(-1, 3)[:total]
-    img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
-    return img.reshape(h, w, 3)
+    # Host-side (static): where does each real ray id land in the
+    # shard-ordered output?  Passing this gather map into the jit keeps
+    # the un-permute + spp average on device; only the final (H, W, 3)
+    # image crosses the host link.
+    ids_flat = ids[perm].reshape(-1)
+    pos_of_id = np.zeros(total, np.int64)
+    real = ids_flat < total
+    pos_of_id[ids_flat[real]] = np.flatnonzero(real)
+
+    return _render_sharded_jit(scene, cfg, mesh, key,
+                               jnp.asarray(ids_sharded),
+                               jnp.asarray(seeds),
+                               jnp.asarray(pos_of_id, dtype=jnp.int32),
+                               accel)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def _render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                         key: jax.Array, ids: jnp.ndarray,
-                        seeds: jnp.ndarray, accel=None):
+                        seeds: jnp.ndarray, pos_of_id: jnp.ndarray,
+                        accel=None):
     def shard_fn(scene_rep, key_rep, ids_shard, seeds_shard, accel_rep):
         # ids_shard: (1, C/nd, R0) on this device; scene+accel replicated.
         geom = derive_geometry(scene_rep)
@@ -102,11 +107,16 @@ def _render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh: Mesh,
 
         return jax.lax.map(one, (ids_shard[0], seeds_shard[0]))[None]
 
-    return shard_map(
+    out = shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=P(DATA_AXIS),
     )(scene, key, ids, seeds, accel)
+
+    h, w, spp = scene.height, scene.width, cfg.samples_per_pixel
+    flat = out.reshape(-1, 3)[pos_of_id]         # undo round-robin
+    img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
+    return img.reshape(h, w, 3)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "mesh", "lr"))
