@@ -173,15 +173,31 @@ def _render_image(scene: Scene, cfg: RenderConfig,
                   accel=None) -> jnp.ndarray:
     """Whole-frame jit: linear-ordered chunks -> (H, W, 3) on device.
 
-    Keeps the spp average and reshape on the chip so the host round trip
-    (expensive on tunneled TPUs) moves only the final image.
+    Chunks stream through a lax.scan that scatter-adds each chunk's
+    sample colors into an (H*W, 3) accumulator, so device memory is
+    O(image), independent of spp (a lax.map would materialize the full
+    (chunks, chunk_size, 3) sample buffer — 60 GB at 960^2 x 128 spp).
+    Per-pixel sums accumulate in chunk order; for spp > 1 this is a
+    different (equally valid) float summation order than a per-pixel
+    reduce.  The host round trip moves only the final image.
     """
     h, w, spp = scene.height, scene.width, cfg.samples_per_pixel
     total = h * w * spp
-    colors = _render_ids.__wrapped__(scene, cfg, ids, keys, accel)
-    flat = colors.reshape(-1, 3)[:total]
-    img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
-    return img.reshape(h, w, 3)
+    geom = derive_geometry(scene)
+
+    def step(accum, args):
+        chunk_ids, chunk_key = args
+        colors = render_chunk(scene, geom, cfg, chunk_ids, chunk_key,
+                              accel)
+        valid = chunk_ids < total
+        pix = jnp.minimum(chunk_ids, total - 1) // spp
+        accum = accum.at[pix].add(
+            jnp.where(valid[:, None], colors, 0.0))
+        return accum, None
+
+    accum0 = jnp.zeros((h * w, 3), scene.vertices.dtype)
+    accum, _ = jax.lax.scan(step, accum0, (ids, keys))
+    return (accum / spp).reshape(h, w, 3)
 
 
 def make_ray_chunks(scene: Scene, cfg: RenderConfig, scheduling=None):
