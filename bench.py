@@ -102,7 +102,11 @@ def main() -> int:
 
         params, skeleton = split_params(scene)
         n = min(h * w, args.chunk)
-        ids = jnp.arange(n, dtype=jnp.int32)
+        # interior rays: the top image rows are often pure background
+        # (zero loss => zero cotangents); center rays exercise the real
+        # backward path
+        total = h * w * args.spp
+        ids = jnp.arange(n, dtype=jnp.int32) + (total - n) // 2
         target = jnp.zeros((n, 3), jnp.float32)
         key = jax.random.PRNGKey(0)
         loss0, _ = loss_and_grad(params, skeleton, cfg, ids, target, key,

@@ -185,6 +185,15 @@ def _render_image(scene: Scene, cfg: RenderConfig,
     total = h * w * spp
     geom = derive_geometry(scene)
 
+    sample_bytes = ids.shape[0] * ids.shape[1] * 3 * 4
+    if sample_bytes <= 1 << 30:
+        # Small sample buffer: the map + per-pixel reshape-sum is ~15%
+        # faster than the scatter-add scan.
+        colors = _render_ids.__wrapped__(scene, cfg, ids, keys, accel)
+        flat = colors.reshape(-1, 3)[:total]
+        img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
+        return img.reshape(h, w, 3)
+
     def step(accum, args):
         chunk_ids, chunk_key = args
         colors = render_chunk(scene, geom, cfg, chunk_ids, chunk_key,
