@@ -286,8 +286,24 @@ void read_floats(const Value& v, float* out, size_t n, const char* ctx) {
     if (v.type != Value::ARR || v.arr.size() < n)
         throw std::runtime_error(std::string("expected ") +
                                  std::to_string(n) + " numbers in " + ctx);
-    for (size_t i = 0; i < n; ++i)
+    for (size_t i = 0; i < n; ++i) {
+        if (v.arr[i].type != Value::NUM)
+            throw std::runtime_error(std::string("non-numeric element in ") +
+                                     ctx);
         out[i] = static_cast<float>(v.arr[i].num);
+    }
+}
+
+// Like read_floats but for whole numeric arrays of unknown length
+// (vertex/uv/index streams); rejects non-numeric elements instead of
+// silently loading them as 0 (the Python loader raises there too).
+void check_numeric(const Value& v, const char* ctx) {
+    if (v.type != Value::ARR)
+        throw std::runtime_error(std::string("expected an array in ") + ctx);
+    for (const Value& e : v.arr)
+        if (e.type != Value::NUM)
+            throw std::runtime_error(std::string("non-numeric element in ") +
+                                     ctx);
 }
 
 SceneDoc* parse_doc(const std::string& text) {
@@ -398,12 +414,14 @@ SceneDoc* parse_doc(const std::string& text) {
         o.material_index = static_cast<int32_t>(
             oj.req("material_index", "object").num);
         const Value& verts = oj.req("vertices", "object");
+        check_numeric(verts, "object vertices");
         if (verts.arr.size() % 3 != 0)
             throw std::runtime_error("vertex coordinates not multiple of 3");
         o.vertices.reserve(verts.arr.size());
         for (const Value& x : verts.arr)
             o.vertices.push_back(static_cast<float>(x.num));
         if (const Value* uvs = oj.find("uvs")) {
+            check_numeric(*uvs, "object uvs");
             if (uvs->arr.size() % 3 != 0)
                 throw std::runtime_error("uv coordinates not multiple of 3");
             // 3 floats consumed per vertex, third dropped.
@@ -414,6 +432,7 @@ SceneDoc* parse_doc(const std::string& text) {
             }
         }
         const Value& tris = oj.req("triangles", "object");
+        check_numeric(tris, "object triangles");
         if (tris.arr.size() % 3 != 0)
             throw std::runtime_error("triangle indices not multiple of 3");
         o.triangles.reserve(tris.arr.size());
@@ -440,6 +459,16 @@ void* srt_scene_parse(const char* path) {
     std::fseek(f, 0, SEEK_END);
     long size = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
+    // Guard ftell failure (directories, pipes) and absurd sizes so the
+    // allocation below can't throw length_error across the C ABI; errors
+    // travel through doc->error like every other loader failure.
+    constexpr long kMaxSceneBytes = 1L << 31;  // 2 GiB
+    if (size < 0 || size > kMaxSceneBytes) {
+        std::fclose(f);
+        doc->error = std::string("cannot determine size of ") + path +
+                     " (not a regular file, or > 2 GiB)";
+        return doc;
+    }
     std::string text(static_cast<size_t>(size), '\0');
     size_t got = std::fread(text.data(), 1, text.size(), f);
     std::fclose(f);

@@ -50,6 +50,10 @@ class KdTree:
     child1: jnp.ndarray      # (N,) i32, -1 for leaves
     leaf_id: jnp.ndarray     # (N,) i32 row into leaf_tris, -1 for inner
     leaf_tris: jnp.ndarray   # (L, CAP) i32 triangle ids, -1 padding
+    # Static (non-pytree) actual tree depth, computed from the built
+    # topology; traversal sizes its per-ray stack from this so a deep
+    # build can never silently overflow the stack (it raises instead).
+    depth: int = struct.field(pytree_node=False, default=8)
 
     @property
     def num_nodes(self) -> int:
@@ -58,6 +62,22 @@ class KdTree:
     @property
     def leaf_cap(self) -> int:
         return int(self.leaf_tris.shape[1])
+
+
+def tree_depth(child0: np.ndarray, child1: np.ndarray) -> int:
+    """Depth of the flattened tree (root = depth 0), iteratively (the
+    tree can be deeper than Python's recursion limit)."""
+    c0 = np.asarray(child0)
+    c1 = np.asarray(child1)
+    depth = 0
+    frontier = np.array([0], np.int32) if len(c0) else np.array([], np.int32)
+    while True:
+        kids = np.concatenate([c0[frontier], c1[frontier]])
+        kids = kids[kids >= 0]
+        if len(kids) == 0:
+            return depth
+        depth += 1
+        frontier = kids
 
 
 def _split_box(bmin: np.ndarray, bmax: np.ndarray, axis: int
@@ -141,13 +161,16 @@ def build_kdtree(
     for i, l in enumerate(leaves):
         leaf_tris[i, :len(l)] = l
 
+    c0_arr = np.array(child0, np.int32)
+    c1_arr = np.array(child1, np.int32)
     return KdTree(
         node_min=jnp.asarray(np.stack(node_min)),
         node_max=jnp.asarray(np.stack(node_max)),
-        child0=jnp.asarray(np.array(child0, np.int32)),
-        child1=jnp.asarray(np.array(child1, np.int32)),
+        child0=jnp.asarray(c0_arr),
+        child1=jnp.asarray(c1_arr),
         leaf_id=jnp.asarray(np.array(leaf_id, np.int32)),
         leaf_tris=jnp.asarray(leaf_tris),
+        depth=tree_depth(c0_arr, c1_arr),
     )
 
 

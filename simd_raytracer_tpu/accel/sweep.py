@@ -121,8 +121,12 @@ def build_sweep_for_scene(scene, partition: str = "morton",
     for i, tris in enumerate(slices):
         n = len(tris)
         if n == 0:
-            aabb[i, 0:3] = 1.0    # empty inverted box: culls everything
-            aabb[i, 3:6] = 0.0
+            # Empty slice: inverted box (min > max).  NOTE: the slab
+            # test's per-axis lo/hi swap would re-validate ANY inverted
+            # box, so the kernel culls these with an explicit
+            # box-validity check (max >= min), not the slab interval.
+            aabb[i, 0:3] = 1.0
+            aabb[i, 3:6] = -1.0
             continue
         tri_ids[i, :n] = tris
         tri_soa[i, :, :n] = soa_all[:, tris]

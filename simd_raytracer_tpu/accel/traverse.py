@@ -31,7 +31,7 @@ from ..ops.intersect import BIG, mt_pairs
 from .build import KdTree
 
 IMAX = jnp.int32(2**31 - 1)
-STACK_SLOTS = 24   # depth-8 binary tree needs <= 10; margin for deep trees
+MAX_STACK_SLOTS = 64   # sanity cap; a deeper tree raises (never clamps)
 LEAF_SLICE = 64    # triangles tested per ray per inner step: bounds the
                    # (R, LEAF_SLICE) gather so huge duplicated leaves
                    # (depth-8 leaves can exceed the 64-triangle target,
@@ -74,7 +74,17 @@ def kd_select(
     rows = jnp.arange(r)
     inv_d = 1.0 / d                     # ray3 caches inv_direction (:11-14)
 
-    stack0 = jnp.zeros((r, STACK_SLOTS), jnp.int32)   # root = node 0
+    # DFS over a binary tree of depth D needs at most D+1 live stack
+    # entries; +1 headroom for the two-slot push below.  tree.depth is a
+    # static field measured from the built topology, so a too-deep build
+    # fails loudly here instead of silently corrupting traversal.
+    stack_slots = int(tree.depth) + 2
+    if stack_slots > MAX_STACK_SLOTS:
+        raise ValueError(
+            f"kd-tree depth {tree.depth} needs {stack_slots} stack slots "
+            f"(> cap {MAX_STACK_SLOTS}); build with a smaller max_depth")
+
+    stack0 = jnp.zeros((r, stack_slots), jnp.int32)   # root = node 0
     sp0 = jnp.ones((r,), jnp.int32)
     best_t0 = jnp.full((r,), BIG, o.dtype)
     best_i0 = jnp.full((r,), IMAX, jnp.int32)
@@ -146,13 +156,26 @@ def kd_select(
         # ---- push children for visited inner nodes -------------------
         push = visit & ~is_leaf
         c1 = tree.child1[node]
-        # LIFO: c1 goes under c0, so c0 (the lower/left half) pops first,
-        # mirroring the reference's push order (:207-214).
-        slot0 = jnp.minimum(top, STACK_SLOTS - 2)
+        # Near-far ordering: visit the child on the ray's side of the
+        # split plane first, so its hits tighten best_t before the far
+        # child's `t_near <= best_t` prune runs (the reference pushes in
+        # fixed order, :207-214; ordering is a strict improvement with
+        # identical winners — closest-hit is order-independent).  The
+        # split axis is recovered from the child box: child0's bmax
+        # equals the node's bmax except on the split axis (= mid).
+        c0s = jnp.maximum(c0, 0)
+        axis = jnp.argmax(tree.node_max[c0s] != tree.node_max[node],
+                          axis=-1)
+        d_axis = jnp.take_along_axis(d, axis[:, None], axis=1)[:, 0]
+        near_first = d_axis >= 0.0       # c0 holds the lower half
+        first = jnp.where(near_first, c0, c1)
+        second = jnp.where(near_first, c1, c0)
+        # LIFO: `second` goes under `first`, so `first` pops first.
+        slot0 = top   # stack_slots = depth+2 guarantees top+1 in bounds
         stack = stack.at[rows, slot0].set(
-            jnp.where(push, c1, stack[rows, slot0]))
+            jnp.where(push, second, stack[rows, slot0]))
         stack = stack.at[rows, slot0 + 1].set(
-            jnp.where(push, c0, stack[rows, slot0 + 1]))
+            jnp.where(push, first, stack[rows, slot0 + 1]))
         sp = jnp.where(push, sp + 2, sp)
 
         return stack, sp, best_t, best_i

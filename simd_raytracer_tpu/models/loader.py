@@ -199,10 +199,7 @@ def parse_scene_file(path: str, use_native: bool = None) -> Scene:
     base_dir = os.path.dirname(os.path.abspath(path))
     if use_native is None or use_native:
         from ..native import native_parse_scene
-        try:
-            raw = native_parse_scene(path)
-        except ValueError:
-            raise
+        raw = native_parse_scene(path)
         if raw is not None:
             return _scene_from_native(raw, base_dir)
         if use_native:

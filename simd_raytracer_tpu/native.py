@@ -178,10 +178,12 @@ def native_build_kdtree(tri_min: np.ndarray, tri_max: np.ndarray,
     finally:
         lib.srt_kdtree_free(handle)
 
+    from .accel.build import tree_depth
     return KdTree(
         node_min=jnp.asarray(node_min), node_max=jnp.asarray(node_max),
         child0=jnp.asarray(child0), child1=jnp.asarray(child1),
-        leaf_id=jnp.asarray(leaf_id), leaf_tris=jnp.asarray(leaf_tris))
+        leaf_id=jnp.asarray(leaf_id), leaf_tris=jnp.asarray(leaf_tris),
+        depth=tree_depth(child0, child1))
 
 
 def native_ppm_encode(img: np.ndarray) -> Optional[bytes]:

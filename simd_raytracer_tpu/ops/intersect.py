@@ -109,13 +109,14 @@ def mt_select(
     return best_idx, hit
 
 
-def mt_refine(o, d, v0, e1, e2):
+def mt_refine(o, d, v0, e1, e2, eps: float = 1e-6):
     """Differentiable t,u,v for a single (per-ray) triangle.
 
     Same formulas as the scalar path (scene/primitive/triangle.hpp:32-67)
     without the accept/reject tests — the caller already knows this
     triangle is the winner.
     o,d: (R,3); v0,e1,e2: (R,3) gathered winner data.  Returns t,u,v (R,).
+    eps should be the same intersection epsilon the select ran with.
     """
     pvec = jnp.cross(d, e2)
     det = jnp.sum(e1 * pvec, axis=-1)
@@ -123,7 +124,7 @@ def mt_refine(o, d, v0, e1, e2):
     # |det| > eps): a smaller clamp lets inv_det reach ~1e30 for the
     # degenerate records of missed rays, and d(1/det)/d(det) = -1/det^2
     # then overflows to inf -> 0*inf NaNs in the backward pass.
-    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-6, det, 1e-6)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > eps, det, eps)
     tvec = o - v0
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)
@@ -222,7 +223,7 @@ def trace(
     v0 = geom.v0[idx]
     e1 = geom.e1[idx]
     e2 = geom.e2[idx]
-    t, u, v = mt_refine(o, d, v0, e1, e2)
+    t, u, v = mt_refine(o, d, v0, e1, e2, eps)
     # Missed rays carry idx=0 whose refine can hit the det clamp and
     # produce ~1e30-scale t; position then overflows f32 in r^2 terms and
     # the backward pass turns 0-weighted infs into NaNs.  Pin misses to a

@@ -83,7 +83,16 @@ def mt_select_fast(
     winners at shared triangle edges can flip; the differentiable refine
     recomputes the winner's exact t/u/v either way.  Division-free accept
     tests; one division for the min-reduce key.
+
+    The o x d triple products cancel at a scale ~|o| x |scene extent|, so
+    rays and triangles are re-centered on the triangle centroid first —
+    the factorization is translation-invariant, and centering keeps the
+    near-tie flips at reference-scene scale regardless of where the scene
+    sits in world space.
     """
+    center = jnp.mean(v0, axis=0)                 # (3,) cheap, T ops
+    o = o - center[None, :]
+    v0 = v0 - center[None, :]
     n = jnp.cross(e1, e2)                         # (T, 3)
     v0n = jnp.sum(v0 * n, axis=1)                 # (T,)
     wu = jnp.cross(v0, e2)                        # d-coefficient of u_num

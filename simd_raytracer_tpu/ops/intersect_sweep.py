@@ -56,7 +56,10 @@ def _kernel(o_ref, d_ref, tri_ref, aabb_ref, ids_ref, mask_ref,
     hi = jnp.where(jnp.isnan(hi), BIG, hi)
     t_near = jnp.maximum(jnp.max(lo, axis=1, keepdims=True), 0.0)  # (R,1)
     t_far = jnp.min(hi, axis=1, keepdims=True)
-    reach = (t_far >= t_near) & (t_near <= best_t[:])
+    # Empty slices carry an inverted sentinel box; the per-axis lo/hi
+    # swap above would re-validate it, so cull on box validity explicitly.
+    box_valid = jnp.all(bmax >= bmin)
+    reach = (t_far >= t_near) & (t_near <= best_t[:]) & box_valid
 
     @pl.when(jnp.any(reach))
     def _():

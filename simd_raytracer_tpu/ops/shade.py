@@ -72,7 +72,8 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
         # march past themselves, so the first *non-transmissive* hit decides.
         mask = geom.tri_valid & ~geom.tri_transmissive
         idx, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False, mask)
-        t, _, _ = mt_refine(o, d, geom.v0[idx], geom.e1[idx], geom.e2[idx])
+        t, _, _ = mt_refine(o, d, geom.v0[idx], geom.e1[idx], geom.e2[idx],
+                            eps)
         return hit & (t <= max_t)
 
     # "march": faithful iterative replication.
@@ -85,7 +86,7 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
         idx, hit = select(o_cur, d, geom.v0, geom.e1, geom.e2,
                           eps, False, geom.tri_valid)
         t, _, _ = mt_refine(o_cur, d, geom.v0[idx], geom.e1[idx],
-                            geom.e2[idx])
+                            geom.e2[idx], eps)
         transmissive = geom.tri_transmissive[idx]
         within = hit & (t <= mt_cur)
         occ_now = undecided & within & ~transmissive

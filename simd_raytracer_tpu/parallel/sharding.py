@@ -41,7 +41,15 @@ def make_mesh(n_devices: Optional[int] = None) -> Mesh:
 
 def init_distributed(**kwargs) -> None:
     """Multi-host rendezvous (fail-fast, like the reference's single
-    process); call before make_mesh on pods."""
+    process); call before make_mesh on pods.
+
+    MUST run before anything initializes the XLA backend — including
+    importing simd_raytracer_tpu modules that build module-level jnp
+    constants.  On a pod: `import jax; jax.distributed.initialize(...)`
+    (or this wrapper via a bare `from simd_raytracer_tpu.parallel import
+    sharding` won't work — import jax only) as the very first JAX call.
+    Exercised for real by tests/test_distributed.py (two OS processes).
+    """
     jax.distributed.initialize(**kwargs)
 
 

@@ -21,13 +21,22 @@ from ..config import RenderConfig
 from ..models.scene import Scene
 
 
-def _fingerprint(scene: Scene, cfg: RenderConfig) -> str:
+def _fingerprint(scene: Scene, cfg: RenderConfig,
+                 spp_per_batch: int) -> str:
+    """Hash of EVERY sampling-relevant setting plus the scene contents.
+
+    All RenderConfig fields participate (bounce_mode, occlusion_mode,
+    epsilon/bias constants, ... — any of them changes what a sample
+    means), as does spp_per_batch (it determines the per-batch RNG key
+    schedule).  A resumed buffer must therefore have been rendered under
+    the exact same estimator, or it restarts from scratch.
+    """
+    import dataclasses
     import hashlib
 
     h = hashlib.sha256()
-    h.update(repr((scene.height, scene.width, cfg.max_ray_depth,
-                   cfg.diffuse_reflection_ray_count, cfg.fov_degrees,
-                   cfg.intersector, cfg.rng_seed)).encode())
+    h.update(repr((scene.height, scene.width, spp_per_batch,
+                   dataclasses.astuple(cfg))).encode())
     for leaf in jax.tree_util.tree_leaves(scene):
         h.update(np.asarray(leaf).tobytes())
     return h.hexdigest()[:32]
@@ -58,7 +67,7 @@ def render_progressive(
         raise ValueError("total_spp must be a multiple of spp_per_batch")
     n_batches = total_spp // spp_per_batch
     h, w = scene.height, scene.width
-    fp = _fingerprint(scene, cfg)
+    fp = _fingerprint(scene, cfg, spp_per_batch)
 
     accum = np.zeros((h, w, 3), np.float64)
     done = 0
