@@ -1,23 +1,230 @@
 """Benchmark driver: prints ONE JSON line with the headline metric.
 
-Metric: primary rays/sec/chip on scenes/hw15/scene2.crtscene (the
-BASELINE.md target scene), default shading config (max_depth=5).  The
+Headline metric: primary rays/sec/chip on scenes/hw15/scene2.crtscene
+(the BASELINE.md target scene) at the default shading config.  The
 reference anchor is ~21M primary rays/s derived from its "<100 ms at
 1920x1080" dragon figure on an AVX2 laptop (BASELINE.md); vs_baseline is
 ours / 21e6.
 
-Usage: python bench.py [--spp N] [--scale F] [--scene PATH]
+The default run measures four phases, EACH IN ITS OWN SUBPROCESS (the
+tunneled TPU backend errors when an executable re-executes after a
+different executable ran in the same process — CLAUDE.md quirk #2):
+
+  headline   hw15/scene2 960x960 spp4, roulette + fast select
+  refexact   the same frame with reference-exact semantics
+             (bounce_mode=split, occlusion=march) — the estimator the
+             C++ reference actually runs (render.hpp:278-301, :110-131)
+  dragon     hw09/scene5 at native 1920x1080 spp1 (the README.md:53-58
+             "<100 ms" headline config), sweep intersector
+  backward   fwd+bwd gradient step throughput (inverse rendering)
+
+Timings force completion with a scalar readback (quirk #1: on this
+tunnel, block_until_ready can return early).
+
+Usage: python bench.py [--spp N] [--scale F] [--scene PATH] [--quick]
+       python bench.py --mesh 8        # sharded scaling harness (CPU ok)
+       python bench.py --northstar     # 128-spp GI fwd+bwd + FD check
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import numpy as np
+BASELINE = 21e6  # BASELINE.md derived reference anchor (primary rays/s)
+
+
+def _force(x):
+    import jax.numpy as jnp
+    return float(jnp.sum(x))
+
+
+def _render_throughput(scene, cfg, accel=None, repeats=3, min_pipe=4):
+    """(seconds_per_frame, single_frame_latency) with forced readbacks."""
+    import jax
+    import jax.numpy as jnp
+    from simd_raytracer_tpu import render_frame
+
+    _force(render_frame(scene, cfg, accel=accel))          # compile
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _force(render_frame(scene, cfg, accel=accel))
+        times.append(time.perf_counter() - t0)
+    latency = min(times)
+    n_pipe = max(min_pipe, min(32, int(2.0 / max(latency, 1e-3))))
+    keys = [jax.random.PRNGKey(1000 + i) for i in range(n_pipe)]
+    t0 = time.perf_counter()
+    sums = [jnp.sum(render_frame(scene, cfg, key=k, accel=accel))
+            for k in keys]
+    vals = [float(s) for s in sums]
+    assert all(v == v for v in vals), "NaN frame sum"
+    return (time.perf_counter() - t0) / n_pipe, latency
+
+
+def _load(scene_path, scale):
+    from simd_raytracer_tpu import parse_scene_file
+    scene = parse_scene_file(scene_path)
+    h = max(8, int(scene.height * scale))
+    w = max(8, int(scene.width * scale))
+    return scene.replace(height=h, width=w)
+
+
+def _build_accel(scene, intersector):
+    if intersector == "kdtree":
+        from simd_raytracer_tpu.accel.build import build_kdtree_for_scene
+        return build_kdtree_for_scene(scene)
+    if intersector == "sweep":
+        from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
+        return build_sweep_for_scene(scene)
+    return None
+
+
+# --------------------------------------------------------------- phases
+
+def phase_forward(args, cfg_overrides=None, scene_path=None, scale=None,
+                  spp=None):
+    from simd_raytracer_tpu import RenderConfig
+
+    scene = _load(scene_path or args.scene, args.scale if scale is None
+                  else scale)
+    spp = args.spp if spp is None else spp
+    kw = dict(samples_per_pixel=spp, chunk_size=args.chunk,
+              intersector=args.intersector, bounce_mode=args.bounce_mode)
+    kw.update(cfg_overrides or {})
+    cfg = RenderConfig(**kw)
+    accel = _build_accel(scene, cfg.intersector)
+    per_frame, latency = _render_throughput(scene, cfg, accel,
+                                            repeats=args.repeats)
+    rays = scene.height * scene.width * spp
+    return {"rays_per_sec": round(rays / per_frame, 1),
+            "seconds_per_frame": round(per_frame, 4),
+            "single_frame_latency": round(latency, 4),
+            "h": scene.height, "w": scene.width, "spp": spp,
+            "intersector": cfg.intersector,
+            "bounce_mode": cfg.bounce_mode}
+
+
+def phase_refexact(args):
+    out = phase_forward(args, cfg_overrides=dict(
+        bounce_mode="split", occlusion_mode="march", intersector="fast"))
+    return {"refexact_" + k: v for k, v in out.items()}
+
+
+def phase_dragon(args):
+    out = phase_forward(
+        args, cfg_overrides=dict(intersector="sweep"),
+        scene_path="/root/reference/scenes/hw09/scene5.crtscene",
+        scale=1.0, spp=1)
+    o = {"dragon_" + k: v for k, v in out.items()}
+    o["dragon_vs_anchor"] = round(out["rays_per_sec"] / BASELINE, 3)
+    return o
+
+
+def phase_backward(args, spp=None, gi=0, fd_check=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from simd_raytracer_tpu import RenderConfig
+    from simd_raytracer_tpu.ops.grad import loss_and_grad, split_params
+
+    scene = _load(args.scene, args.scale)
+    spp = args.spp if spp is None else spp
+    cfg = RenderConfig(samples_per_pixel=spp, chunk_size=args.chunk,
+                       intersector=args.intersector,
+                       bounce_mode=args.bounce_mode,
+                       diffuse_reflection_ray_count=gi)
+    accel = _build_accel(scene, cfg.intersector)
+    params, skeleton = split_params(scene)
+    h, w = scene.height, scene.width
+    n = min(h * w * spp, args.chunk)
+    total = h * w * spp
+    # interior rays: center rays exercise the real backward path
+    ids = jnp.arange(n, dtype=jnp.int32) + (total - n) // 2
+    target = jnp.zeros((n, 3), jnp.float32)
+    loss0, g0 = loss_and_grad(params, skeleton, cfg, ids, target,
+                              jax.random.PRNGKey(0), accel)
+    float(loss0)   # forced warmup
+    n_steps = 8
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        loss_i, _ = loss_and_grad(params, skeleton, cfg, ids, target,
+                                  jax.random.PRNGKey(i), accel)
+        assert np.isfinite(float(loss_i))
+    per_step = (time.perf_counter() - t0) / n_steps
+    pref = "northstar_" if gi else "fwd_bwd_"
+    out = {pref + "rays_per_sec": round(n / per_step, 1),
+           pref + "rays": n, pref + "spp": spp}
+    if fd_check:
+        # FD-allclose on a scalar param (fixed key -> deterministic
+        # estimator): d(loss)/d(intensity) vs central difference.
+        import dataclasses
+
+        def loss_at(di):
+            p = dict(params)
+            p["light_intensity"] = params["light_intensity"] + di
+            l, _ = loss_and_grad(p, skeleton, cfg, ids, target,
+                                 jax.random.PRNGKey(0), accel)
+            return float(l)
+
+        eps_fd = 0.05 * float(jnp.max(jnp.abs(
+            params["light_intensity"]))) or 1.0
+        fd = (loss_at(eps_fd) - loss_at(-eps_fd)) / (2 * eps_fd)
+        an = float(jnp.sum(g0["light_intensity"]))
+        rel = abs(fd - an) / max(abs(fd), abs(an), 1e-12)
+        out[pref + "fd_rel_err"] = round(rel, 4)
+        assert rel < 0.05, f"FD mismatch: analytic {an} vs FD {fd}"
+    return out
+
+
+def phase_mesh(args):
+    """Scaling-efficiency measurement at ONE mesh size (args.mesh).
+
+    The parent aggregates sizes 1..N into rays/s + efficiency rows
+    (BASELINE.json: >=85% efficiency target on real pods).  Each size
+    runs in its own process: one compiled program per process (tunnel
+    quirk #2), and re-sharding the same committed arrays onto a grown
+    mesh trips jax-0.9 jit-cache sharp edges.  On the single-TPU tunnel
+    this runs on a virtual CPU mesh — the numbers check sharding
+    overhead, not chip throughput."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize latches the axon platform at interpreter start;
+        # honoring the env var needs the live-config override (quirk #3)
+        jax.config.update("jax_platforms", "cpu")
+    from simd_raytracer_tpu import RenderConfig
+    from simd_raytracer_tpu.parallel.sharding import (make_mesh,
+                                                      render_frame_sharded)
+
+    scene = _load(args.scene, args.scale)
+    cfg = RenderConfig(samples_per_pixel=args.spp, chunk_size=args.chunk,
+                       intersector=args.intersector,
+                       bounce_mode=args.bounce_mode)
+    rays = scene.height * scene.width * args.spp
+    nd = min(args.mesh, len(jax.devices()))
+    mesh = make_mesh(nd)
+    _force(render_frame_sharded(scene, cfg, mesh))
+    reps = 2
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        _force(render_frame_sharded(scene, cfg, mesh))
+    dt = (time.perf_counter() - t0) / reps
+    return {"mesh_devices": nd, "mesh_rays_per_sec": round(rays / dt, 1),
+            "mesh_backend": jax.default_backend()}
+
+
+PHASES = {
+    "headline": phase_forward,
+    "refexact": phase_refexact,
+    "dragon": phase_dragon,
+    "backward": phase_backward,
+    "northstar": lambda a: phase_backward(a, spp=128, gi=1, fd_check=True),
+    "mesh": phase_mesh,
+}
 
 
 def main() -> int:
@@ -29,158 +236,107 @@ def main() -> int:
                     help="resolution scale on the scene's native HxW")
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--repeats", type=int, default=3)
-    # "fast" = bilinear triple-product select; XLA lifts its outer-product
-    # sums onto the MXU (~40x the fused-VPU path), winners identical to
-    # "jnp" except last-ulp ties at shared triangle edges.
     ap.add_argument("--intersector", default="fast",
-                    choices=["jnp", "fast", "pallas", "mxu", "kdtree", "sweep"])
-    # roulette is the production default: unbiased (identical in
-    # expectation to the reference's full recursion split, bitwise equal
-    # on non-branching scenes) with a flat wavefront.
+                    choices=["jnp", "fast", "pallas", "mxu", "kdtree",
+                             "sweep"])
     ap.add_argument("--bounce-mode", default="roulette",
                     choices=["split", "roulette"])
-    ap.add_argument("--no-backward", dest="backward", action="store_false",
-                    help="skip the fwd+bwd gradient throughput timing")
-    ap.set_defaults(backward=True)
-    ap.add_argument("--_phase", default=None, choices=["forward", "backward"],
-                    help=argparse.SUPPRESS)   # internal: single-phase run
+    ap.add_argument("--quick", action="store_true",
+                    help="headline + backward phases only")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="run the sharded scaling harness up to N devices")
+    ap.add_argument("--northstar", action="store_true",
+                    help="run the 128-spp GI fwd+bwd + FD check phase")
+    ap.add_argument("--_phase", default=None, choices=list(PHASES),
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
 
-    # The tunneled TPU backend errors when a previously-run executable is
-    # re-executed after a different executable has run (InvalidArgument),
-    # so the forward and backward phases each get a fresh process.
-    if args.backward and args._phase is None:
-        import subprocess
-        base = [sys.executable, __file__,
-                "--scene", args.scene, "--spp", str(args.spp),
-                "--scale", str(args.scale), "--chunk", str(args.chunk),
-                "--repeats", str(args.repeats),
-                "--intersector", args.intersector,
-                "--bounce-mode", args.bounce_mode]
-        fwd = subprocess.run(base + ["--_phase", "forward"],
-                             capture_output=True, text=True)
-        bwd = subprocess.run(base + ["--_phase", "backward"],
-                             capture_output=True, text=True)
-        if fwd.returncode != 0:
-            sys.stderr.write(fwd.stderr)
+    if args._phase is not None:
+        out = PHASES[args._phase](args)
+        print(json.dumps(out))
+        return 0
+
+    if args.mesh:
+        # one subprocess per mesh size; aggregate efficiency here
+        sizes = [s for s in (1, 2, 4, 8) if s <= args.mesh]
+        rows = {}
+        for nd in sizes:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--scene", args.scene, "--spp", str(args.spp),
+                   "--scale", str(args.scale), "--chunk", str(args.chunk),
+                   "--intersector", args.intersector,
+                   "--bounce-mode", args.bounce_mode,
+                   "--mesh", str(nd), "--_phase", "mesh"]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=3600)
+            if r.returncode != 0 or not r.stdout.strip():
+                sys.stderr.write(f"[mesh {nd} failed]\n"
+                                 + r.stderr[-2000:] + "\n")
+                continue
+            out = json.loads(r.stdout.strip().splitlines()[-1])
+            rows[out["mesh_devices"]] = out["mesh_rays_per_sec"]
+        if not rows:
+            print(json.dumps({"metric": "mesh_scaling", "value": 0,
+                              "unit": "rays/s", "vs_baseline": 0}))
             return 1
-        result = json.loads(fwd.stdout.strip().splitlines()[-1])
-        if bwd.returncode == 0 and bwd.stdout.strip():
-            result["detail"].update(
-                json.loads(bwd.stdout.strip().splitlines()[-1]))
-        else:
-            sys.stderr.write(bwd.stderr)
-        print(json.dumps(result))
+        base_nd = min(rows)
+        eff = {nd: round(v / (rows[base_nd] * nd / base_nd), 3)
+               for nd, v in rows.items()}
+        top = max(rows)
+        print(json.dumps({
+            "metric": f"sharded_rays_per_sec_{top}dev",
+            "value": rows[top], "unit": "rays/s",
+            "vs_baseline": round(rows[top] / BASELINE, 3),
+            "detail": {"mesh_rays_per_sec": rows,
+                       "mesh_scaling_efficiency": eff}}))
         return 0
 
-    from simd_raytracer_tpu import RenderConfig, parse_scene_file, render_frame
+    if args.northstar:
+        phases = ["northstar"]
+    elif args.quick:
+        phases = ["headline", "backward"]
+    else:
+        phases = ["backward", "headline", "refexact", "dragon"]
 
-    scene = parse_scene_file(args.scene)
-    h = max(8, int(scene.height * args.scale))
-    w = max(8, int(scene.width * args.scale))
-    scene = scene.replace(height=h, width=w)
-    cfg = RenderConfig(samples_per_pixel=args.spp, chunk_size=args.chunk,
-                       intersector=args.intersector,
-                       bounce_mode=args.bounce_mode)
+    base = [sys.executable, os.path.abspath(__file__),
+            "--scene", args.scene, "--spp", str(args.spp),
+            "--scale", str(args.scale), "--chunk", str(args.chunk),
+            "--repeats", str(args.repeats),
+            "--intersector", args.intersector,
+            "--bounce-mode", args.bounce_mode,
+            "--mesh", str(args.mesh)]
+    detail = {}
+    headline = None
+    for ph in phases:
+        r = subprocess.run(base + ["--_phase", ph], capture_output=True,
+                           text=True, timeout=3600)
+        if r.returncode != 0 or not r.stdout.strip():
+            sys.stderr.write(f"[phase {ph} failed]\n" + r.stderr[-2000:]
+                             + "\n")
+            continue
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        if ph == "headline":
+            headline = out
+        detail.update(out)
 
-    accel = None
-    if args.intersector == "kdtree":
-        from simd_raytracer_tpu.accel.build import build_kdtree_for_scene
-        accel = build_kdtree_for_scene(scene)
-    elif args.intersector == "sweep":
-        from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
-        accel = build_sweep_for_scene(scene)
+    if headline is None and phases != ["mesh"] and "mesh" not in detail:
+        # headline failed — still emit whatever we have
+        print(json.dumps({"metric": "primary_rays_per_sec_hw15s2",
+                          "value": 0, "unit": "rays/s",
+                          "vs_baseline": 0, "detail": detail}))
+        return 1
 
-    # Backward metric FIRST: executing grad programs after a frame
-    # render trips a tunnel-backend InvalidArgument on repeat
-    # executions (fresh-process grads repeat fine), so measure the
-    # fwd+bwd step before any forward frame runs.
-    bwd_metrics = {}
-    if args.backward and args._phase == "backward":
-        import jax.numpy as jnp
-        from simd_raytracer_tpu.ops.grad import loss_and_grad, split_params
-
-        params, skeleton = split_params(scene)
-        n = min(h * w, args.chunk)
-        # interior rays: the top image rows are often pure background
-        # (zero loss => zero cotangents); center rays exercise the real
-        # backward path
-        total = h * w * args.spp
-        ids = jnp.arange(n, dtype=jnp.int32) + (total - n) // 2
-        target = jnp.zeros((n, 3), jnp.float32)
-        key = jax.random.PRNGKey(0)
-        loss0, _ = loss_and_grad(params, skeleton, cfg, ids, target, key,
-                                 accel)
-        float(loss0)   # forced warmup (see force() note above)
-        # Sequential forced steps: pipelining grad steps behind a frame
-        # render trips a tunnel-backend InvalidArgument, so this number
-        # includes one host round trip per step (slightly understated).
-        n_steps = 8
-        t0 = time.perf_counter()
-        for i in range(n_steps):
-            loss_i, _ = loss_and_grad(params, skeleton, cfg, ids, target,
-                                      jax.random.PRNGKey(i), accel)
-            assert np.isfinite(float(loss_i))
-        per_step = (time.perf_counter() - t0) / n_steps
-        bwd_metrics = {"fwd_bwd_rays_per_sec": round(n / per_step, 1),
-                       "fwd_bwd_rays": n}
-        print(json.dumps(bwd_metrics))
-        return 0
-
-    rays = h * w * args.spp
-
-    import jax.numpy as jnp
-
-    def force(x):
-        # On tunneled TPUs jax.block_until_ready can return before the
-        # computation finishes (measured: a 1.5 s frame "completes" in
-        # 4 ms).  The only reliable fence is a host readback, so every
-        # timing here reduces the output to a scalar on device and
-        # transfers 4 bytes.
-        return float(jnp.sum(x))
-
-    # warmup (compile)
-    force(render_frame(scene, cfg, accel=accel))
-
-    # Single-frame latency (dispatch -> forced completion).
-    times = []
-    for _ in range(args.repeats):
-        t0 = time.perf_counter()
-        force(render_frame(scene, cfg, accel=accel))
-        times.append(time.perf_counter() - t0)
-    latency = min(times)
-
-    # Steady-state throughput: dispatch frames back to back (independent
-    # keys), then force each scalar — in-flight frames overlap the host
-    # round trips, like a production render/serving loop.
-    n_pipe = max(4, min(32, int(2.0 / max(latency, 1e-3))))
-    keys = [jax.random.PRNGKey(1000 + i) for i in range(n_pipe)]
-    t0 = time.perf_counter()
-    sums = [jnp.sum(render_frame(scene, cfg, key=k, accel=accel))
-            for k in keys]
-    vals = [float(s) for s in sums]
-    per_frame = (time.perf_counter() - t0) / n_pipe
-    assert all(np.isfinite(v) for v in vals)
-    rays_per_sec = rays / per_frame
-
-    baseline = 21e6  # BASELINE.md derived reference anchor
+    import jax
+    detail["device"] = str(jax.devices()[0])
+    detail["scene"] = args.scene
+    value = headline["rays_per_sec"] if headline else 0
     result = {
         "metric": "primary_rays_per_sec_hw15s2",
-        "value": round(rays_per_sec, 1),
+        "value": value,
         "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / baseline, 3),
-        "detail": {
-            "scene": args.scene, "h": h, "w": w, "spp": args.spp,
-            "intersector": args.intersector,
-            "bounce_mode": args.bounce_mode,
-            "seconds_per_frame": round(per_frame, 4),
-            "single_frame_latency": round(latency, 4),
-            "pipelined_frames": n_pipe,
-            "device": str(jax.devices()[0]),
-        },
+        "vs_baseline": round(value / BASELINE, 3),
+        "detail": detail,
     }
-    result["detail"].update(bwd_metrics)
-
     print(json.dumps(result))
     return 0
 

@@ -34,6 +34,11 @@ def main(argv=None) -> int:
                     help="split = reference's full recursion tree; "
                          "roulette = unbiased single-child sampling "
                          "(flat wavefront, far faster at depth)")
+    ap.add_argument("--occlusion", default="fast",
+                    choices=["fast", "march"],
+                    help="shadow query: march replicates the reference's "
+                         "re-origined loop (render.hpp:110-131); fast is "
+                         "one transmissive-aware closest-hit query")
     ap.add_argument("--scheduling", default="linear",
                     choices=["linear", "single", "region", "bucket"],
                     help="tile order (reference tile/*.hpp; linear is the "
@@ -58,7 +63,8 @@ def main(argv=None) -> int:
         samples_per_pixel=args.spp, max_ray_depth=args.max_depth,
         diffuse_reflection_ray_count=args.gi_rays, fov_degrees=args.fov,
         rng_seed=args.seed, chunk_size=args.chunk,
-        intersector=args.intersector, bounce_mode=args.bounce_mode)
+        intersector=args.intersector, bounce_mode=args.bounce_mode,
+        occlusion_mode=args.occlusion)
 
     import jax
 

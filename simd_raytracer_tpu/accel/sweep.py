@@ -31,11 +31,13 @@ SLICE = 128   # triangles per slice = VPU lane width
 
 @struct.dataclass
 class SweepData:
-    """S slices of 128 triangles each (static shapes per scene)."""
+    """S slices of slice_size triangles each (static shapes per scene)."""
 
     tri_soa: jnp.ndarray   # (S, 9, SLICE) f32: v0xyz, e1xyz, e2xyz rows
     aabb: jnp.ndarray      # (S, 8) f32: min xyz, max xyz, 2 pad
     tri_ids: jnp.ndarray   # (S, SLICE) i32 global triangle ids, -1 pad
+    # rays per Pallas grid tile (static tuning knob, not traced data)
+    r_tile: int = struct.field(pytree_node=False, default=512)
 
     @property
     def num_slices(self) -> int:
@@ -72,7 +74,8 @@ def _morton_order(tri_min: np.ndarray, tri_max: np.ndarray,
 def build_sweep_for_scene(scene, partition: str = "morton",
                           max_depth: int = 12,
                           max_leaf: int = SLICE,
-                          slice_size: int = 512) -> SweepData:
+                          slice_size: int = 256,
+                          r_tile: int = 512) -> SweepData:
     """Pack triangles into tight slice_size-triangle slices.
 
     partition="morton" (default): disjoint slices of consecutive
@@ -82,9 +85,9 @@ def build_sweep_for_scene(scene, partition: str = "morton",
     deeper-than-reference kd build (duplication across slices costs
     padded lanes but boxes can be tighter).
 
-    slice_size=512 (4 VPU lane groups) balances Pallas grid-step overhead
-    against culling granularity on v5e; 128 culls finer but pays ~4x more
-    per-step overhead."""
+    slice_size=256 measured best on v5e (scripts/tune_sweep.py: 256 beats
+    both 128, which pays more per-slice overhead, and 512, which culls
+    too coarsely); r_tile=512 beats 256 and 1024."""
     vertices = np.asarray(scene.vertices)
     tri_vidx = np.asarray(scene.tri_vidx)
     valid = np.asarray(scene.tri_valid)
@@ -135,4 +138,5 @@ def build_sweep_for_scene(scene, partition: str = "morton",
 
     return SweepData(tri_soa=jnp.asarray(tri_soa),
                      aabb=jnp.asarray(aabb),
-                     tri_ids=jnp.asarray(tri_ids))
+                     tri_ids=jnp.asarray(tri_ids),
+                     r_tile=r_tile)

@@ -66,6 +66,11 @@ class RenderConfig:
     # reduced width (exact — dead rays neither shade nor spawn).  1
     # disables.  Costs one extra compiled branch per bounce.
     compact_factor: int = 4
+    # Shadow-query compaction: gather the live diffuse/texture hits
+    # before the per-light occlusion sweep (tiered widths n/8, n/2).
+    # False falls back to one full-width query gated by a single
+    # any-lit cond.  Rendered values identical either way.
+    shadow_compact: bool = True
     # Per-bounce lax.cond skips (dead-wavefront early exit, unlit-ray
     # occlusion skip, compaction dispatch).  Identical rendered values
     # either way — False trades the sparse-bounce savings for a

@@ -14,6 +14,14 @@ buffer widening by the child-slot factor K each bounce; the contribution of
 bounce d folds back to its primary ray by a reshape-sum (children of ray r
 occupy the contiguous block [r*K^d, (r+1)*K^d)), which replaces scatter
 with a dense reduction.
+
+Sparsity (the reference gets it free from recursion — dead paths just
+return) is recovered by SEGMENTED execution: each bounce past the first
+sorts its wavefront alive-first and lax.maps one compiled cap-wide
+bounce body over the segments, skipping all-dead ones with a cond.  Cost
+then tracks live-ray count, XLA compiles a single body per depth (the
+K^depth-wide graphs never exist), and per-slot RNG makes the gathers
+bitwise invisible.
 """
 
 from __future__ import annotations
@@ -70,9 +78,26 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
 
     for depth in range(cfg.max_ray_depth + 1):
         last = depth == cfg.max_ray_depth
+        n_cur = weight.shape[0]
+        bounce_key = jax.random.fold_in(key, depth + 1)
 
-        def bounce_body(args, depth=depth, last=last):
-            o, d, weight, miss_bg = args
+        # Per-slot uniforms drawn at the FULL wavefront width before any
+        # compaction, so a ray's randomness follows its slot through
+        # gathers — compaction/segmentation is bitwise invariant.
+        rnds = ()
+        if not last:
+            if cfg.bounce_mode == "roulette":
+                rnds += (jax.random.uniform(
+                    jax.random.fold_in(bounce_key, 1), (n_cur,), dtype),)
+            if cfg.diffuse_reflection_ray_count > 0:
+                rnds += (jax.random.uniform(
+                    bounce_key,
+                    (n_cur, cfg.diffuse_reflection_ray_count, 2), dtype),)
+
+        def bounce_body(args, depth=depth, last=last,
+                        bounce_key=bounce_key):
+            o, d, weight, miss_bg = args[:4]
+            rnds_in = args[4:]
             hit = trace(o, d, scene, geom, cfg.epsilon, cull=(depth == 0),
                         intersector=cfg.intersector, accel=accel)
             live_w = weight
@@ -81,24 +106,30 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
             if last:
                 # Depth cutoff returns background (render.hpp:138-139).
                 contrib = contrib + (live_w * hit.mask)[:, None] * bg
-                return contrib, args
-            bounce_key = jax.random.fold_in(key, depth + 1)
+                return contrib, args[:4]
+            i = 0
+            rnd_coin = rnd_gi = None
+            if cfg.bounce_mode == "roulette":
+                rnd_coin, i = rnds_in[i], i + 1
+            if cfg.diffuse_reflection_ray_count > 0:
+                rnd_gi = rnds_in[i]
             shade_contrib, children = shade(
-                scene, geom, hit, d, weight, cfg, bounce_key, accel)
+                scene, geom, hit, d, weight, cfg, bounce_key, accel,
+                rnd_coin=rnd_coin, rnd_gi=rnd_gi)
             return contrib + shade_contrib, children
 
         def bounce_skip(args):
-            # All rays dead: no contribution, children stay dead.  The
+            # Dead rays: no contribution, children stay dead.  The
             # reference's recursion simply does not recurse here; the flat
             # wavefront must skip explicitly or an all-diffuse scene pays
             # the full depth budget tracing zero-weight rays.  Outputs are
             # derived from the inputs (not fresh zeros) so that under
             # shard_map they inherit the same varying mesh axes as the
             # real bounce branch.
-            o_, d_, w_, bgm = args
+            o_, d_, w_, bgm = args[:4]
             contrib = jnp.zeros_like(o_)
             if last:
-                return contrib, args
+                return contrib, args[:4]
             k = cfg.child_slots
             return contrib, (
                 jnp.tile(o_ * 0.0, (k, 1)),
@@ -106,48 +137,101 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
                 jnp.tile(w_ * 0.0, k),
                 jnp.tile(bgm & False, k))
 
-        def bounce_compact(args, cap):
-            # Exact compaction (roulette's flat wavefront only): when the
-            # live set fits in cap slots, gather it, run the bounce at
-            # 1/4 width, and scatter children back.  The stable argsort
-            # puts alive rays first; results are identical to the full
-            # bounce because dead rays contribute nothing and spawn
-            # nothing.  This recovers the sparsity the reference gets for
-            # free from recursion (dead paths simply return).
-            o_, d_, w_, bgm = args
-            n = w_.shape[0]
-            idx = jnp.argsort(~(w_ > 0.0), stable=True)[:cap]
-            sub = (o_[idx], d_[idx], w_[idx], bgm[idx])
+        def bounce_compact(args, cap, order):
+            # Exact compaction (roulette): when the live set fits in cap
+            # slots, gather it (per-slot RNG travels with the ray, so
+            # values are bitwise identical), run ONE bounce at reduced
+            # width, scatter children back.  Measured faster than
+            # segment-mapping on TPU when live fractions are high — one
+            # wide op beats several narrow sequential ones.
+            n = args[2].shape[0]
+            k = 1 if last else cfg.child_slots
+            idx = order[:cap]
+            sub = tuple(a[idx] for a in args)
             contrib_c, (oc, dc, wc, bgc) = bounce_body(sub)
             contrib = jnp.zeros((n, 3), dtype).at[idx].set(contrib_c)
-            o2 = o_.at[idx].set(oc)
-            d2 = d_.at[idx].set(dc)
-            w2 = jnp.zeros_like(w_).at[idx].set(wc)
-            bg2 = jnp.zeros_like(bgm).at[idx].set(bgc)
+            if last:
+                return contrib, args[:4]
+            cidx = (idx[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
+            o2 = jnp.zeros((n * k, 3), dtype).at[cidx].set(oc)
+            d2 = (jnp.zeros((n * k, 3), dtype).at[:, 2].set(-1.0)
+                  .at[cidx].set(dc))
+            w2 = jnp.zeros((n * k,), dtype).at[cidx].set(wc)
+            bg2 = jnp.zeros((n * k,), bool).at[cidx].set(bgc)
             return contrib, (o2, d2, w2, bg2)
 
+        def bounce_segmented(args, cap):
+            # Exact sparse execution: sort the wavefront alive-first (by
+            # SLOT, randomness travels with the ray), cut it into
+            # cap-wide segments, and lax.map a single compiled
+            # bounce-body over them with a per-segment all-dead skip.
+            # Live rays occupy the first ceil(alive/cap) segments, so
+            # cost adapts to occupancy like the reference's recursion
+            # (dead paths return immediately) while XLA sees ONE body
+            # per depth — no K^depth-wide fallback graphs to compile.
+            # Children of the ray in slot s scatter to s*K..s*K+K-1,
+            # preserving the contiguous-block fold-back invariant.
+            n = args[2].shape[0]
+            k = 1 if last else cfg.child_slots
+            order = jnp.argsort(~(args[2] > 0.0), stable=True)
+            segs = n // cap
+            seg_in = tuple(a[order].reshape((segs, cap) + a.shape[1:])
+                           for a in args)
+
+            def seg_fn(seg):
+                return jax.lax.cond(jnp.any(seg[2] > 0.0), bounce_body,
+                                    bounce_skip, seg)
+
+            contrib_s, children_s = jax.lax.map(seg_fn, seg_in)
+            contrib = (jnp.zeros((n, 3), dtype)
+                       .at[order].set(contrib_s.reshape(n, 3)))
+            if last:
+                return contrib, args[:4]
+            cidx = (order[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
+            oc, dc, wc, bgc = (a.reshape((n * k,) + a.shape[2:])
+                               for a in children_s)
+            o2 = jnp.zeros((n * k, 3), dtype).at[cidx].set(oc)
+            d2 = (jnp.zeros((n * k, 3), dtype).at[:, 2].set(-1.0)
+                  .at[cidx].set(dc))
+            w2 = jnp.zeros((n * k,), dtype).at[cidx].set(wc)
+            bg2 = jnp.zeros((n * k,), bool).at[cidx].set(bgc)
+            return contrib, (o2, d2, w2, bg2)
+
+        args = (o, d, weight, miss_bg) + rnds
         if depth == 0 or not cfg.bounce_skip:
-            contrib, (o, d, weight, miss_bg) = bounce_body(
-                (o, d, weight, miss_bg))
+            contrib, (o, d, weight, miss_bg) = bounce_body(args)
         else:
-            compactable = (cfg.bounce_mode == "roulette"
-                           and cfg.compact_factor > 1
-                           and weight.shape[0] % cfg.compact_factor == 0
-                           and not last)
-            if compactable:
-                cap = weight.shape[0] // cfg.compact_factor
+            if cfg.bounce_mode == "roulette":
+                cap = (n_cur // cfg.compact_factor
+                       if cfg.compact_factor > 1 else n_cur)
+                overflow_fn = bounce_body
+            else:
+                # split widens by K each bounce but the live count stays
+                # ~chunk-sized (only refractive hits branch): compact to
+                # the primary width r0.  The overflow fallback (live >
+                # r0, e.g. a chunk fully inside a refractive object)
+                # runs the SAME r0-wide body segment-by-segment instead
+                # of one K^depth-wide op, so XLA never compiles the
+                # giant graphs (the old full-width fallbacks took ~17
+                # min at 960^2) yet every case stays exact.
+                cap = min(r0, n_cur)
+                overflow_fn = functools.partial(bounce_segmented, cap=cap)
+            if 0 < cap < n_cur and n_cur % cap == 0:
                 alive_n = jnp.sum(weight > 0.0)
+                # sorted OUTSIDE the conds (sort inside a differentiated
+                # cond branch heap-corrupts XLA:CPU under shard_map)
+                order = jnp.argsort(~(weight > 0.0), stable=True)
                 contrib, (o, d, weight, miss_bg) = jax.lax.cond(
                     alive_n == 0, bounce_skip,
-                    lambda args: jax.lax.cond(
+                    lambda a: jax.lax.cond(
                         alive_n <= cap,
-                        functools.partial(bounce_compact, cap=cap),
-                        bounce_body, args),
-                    (o, d, weight, miss_bg))
+                        functools.partial(bounce_compact, cap=cap,
+                                          order=order),
+                        overflow_fn, a),
+                    args)
             else:
                 contrib, (o, d, weight, miss_bg) = jax.lax.cond(
-                    jnp.any(weight > 0.0), bounce_body, bounce_skip,
-                    (o, d, weight, miss_bg))
+                    jnp.any(weight > 0.0), bounce_body, bounce_skip, args)
         accum = accum + contrib.reshape(r0, -1, 3).sum(axis=1)
 
     return accum

@@ -71,6 +71,15 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
         # Transmissive surfaces never occlude and only re-originate the
         # march past themselves, so the first *non-transmissive* hit decides.
         mask = geom.tri_valid & ~geom.tri_transmissive
+        if cfg.intersector == "sweep":
+            # Occlusion is a pure predicate: seed the sweep's running
+            # winner with the light distance (slices beyond it cull) and
+            # stop each ray at its first accepted hit.  Hits at exactly
+            # t == max_t are dropped (strict window) — a measure-zero
+            # divergence from the <= check below; `march` stays faithful.
+            _, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False,
+                            mask, t_max=max_t, any_hit=True)
+            return hit
         idx, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False, mask)
         t, _, _ = mt_refine(o, d, geom.v0[idx], geom.e1[idx], geom.e2[idx],
                             eps)
@@ -138,6 +147,7 @@ def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
 def shade(scene: Scene, geom: Geometry, hit: HitRecord,
           d_in: jnp.ndarray, weight: jnp.ndarray,
           cfg: RenderConfig, key: jax.Array, accel=None,
+          rnd_coin: jnp.ndarray = None, rnd_gi: jnp.ndarray = None,
           ) -> Tuple[jnp.ndarray, Tuple]:
     """One wavefront bounce of shading.
 
@@ -145,6 +155,12 @@ def shade(scene: Scene, geom: Geometry, hit: HitRecord,
     directions d_in (N,3), throughput weight (N,) already zeroed for dead
     rays.  Returns (contrib (N,3),
     children = (o' (N*K,3), d' (N*K,3), weight' (N*K,), miss_bg' (N*K,))).
+
+    rnd_coin (N,) / rnd_gi (N, gi_count, 2) carry pre-drawn uniforms so a
+    caller that compacts/segments the wavefront can keep each ray's
+    randomness tied to its SLOT, not its position in the gathered buffer
+    (bitwise invariance of compaction); if None they are drawn here from
+    `key` positionally.
     """
     n = d_in.shape[0]
     k = cfg.child_slots
@@ -160,17 +176,46 @@ def shade(scene: Scene, geom: Geometry, hit: HitRecord,
 
     # ---- direct contributions --------------------------------------
     lit = is_diffuse | is_texture
-    # Shadow rays cost a full occlusion select per light; skip the whole
-    # block when no live ray has a light-responsive material this bounce
-    # (e.g. purely reflective/refractive wavefronts mid-flight) — the
-    # recursion analog is that those material branches never run the
-    # per-light loop (render.hpp:184-206).
+    # Shadow rays cost a full occlusion select per light, so the query
+    # set is compacted to the rays that can actually contribute: only
+    # live diffuse/texture hits run the per-light loop in the reference's
+    # recursion (render.hpp:184-206); everything else (misses, mirrors,
+    # glass, dead lanes) is gathered out before the occlusion sweep.
+    # Tiered lax.conds pick the narrowest compiled width that fits.
     if cfg.bounce_skip:
-        any_lit = jnp.any(lit & hit.mask & (weight > 0.0))
-        factor = jax.lax.cond(
-            any_lit,
-            lambda: direct_light_factor(scene, geom, hit, cfg, accel),
-            lambda: jnp.zeros_like(weight))
+        need = lit & hit.mask & (weight > 0.0)
+        n_need = jnp.sum(need)
+
+        def factor_at(cap, idx):
+            if cap == n:
+                f = direct_light_factor(scene, geom, hit, cfg, accel)
+                return jnp.where(need, f, 0.0)
+            sub = jax.tree_util.tree_map(lambda a: a[idx], hit)
+            f = direct_light_factor(scene, geom, sub, cfg, accel)
+            f = jnp.where(need[idx], f, 0.0)
+            return jnp.zeros_like(weight).at[idx].set(f)
+
+        caps = ([c for c in (n // 8, n // 2) if 0 < c < n]
+                if cfg.shadow_compact else []) + [n]
+        # The gather permutation is computed OUTSIDE the conds (sort
+        # inside a differentiated lax.cond branch heap-corrupts XLA:CPU
+        # under shard_map; it is also cheap relative to the select).
+        # Tiered widths measured faster than segment-mapping on TPU:
+        # fully-lit chunks keep one wide occlusion op.
+        order = (jnp.argsort(~need, stable=True) if len(caps) > 1
+                 else jnp.arange(n))
+
+        def dispatch(tiers):
+            cap = tiers[0]
+            if len(tiers) == 1:
+                return factor_at(cap, order[:cap])
+            return jax.lax.cond(n_need <= cap,
+                                lambda: factor_at(cap, order[:cap]),
+                                lambda: dispatch(tiers[1:]))
+
+        factor = jax.lax.cond(n_need == 0,
+                              lambda: jnp.zeros_like(weight),
+                              lambda: dispatch(caps))
     else:
         factor = direct_light_factor(scene, geom, hit, cfg, accel)
     factor = jnp.where(lit, factor, 0.0)
@@ -216,7 +261,9 @@ def shade(scene: Scene, geom: Geometry, hit: HitRecord,
         right = _safe_normalize(jnp.cross(d_in, hit.hit_n))
         up = hit.hit_n
         fwd = jnp.cross(right, up)
-        rnd = jax.random.uniform(key, (n, gi_count, 2), dtype=weight.dtype)
+        rnd = (rnd_gi if rnd_gi is not None else
+               jax.random.uniform(key, (n, gi_count, 2),
+                                  dtype=weight.dtype))
         theta = jnp.pi * rnd[..., 0]
         phi = 2.0 * jnp.pi * rnd[..., 1]
         # rand vec (cos t, sin t, 0) rotated about Y by phi
@@ -247,8 +294,9 @@ def shade(scene: Scene, geom: Geometry, hit: HitRecord,
         # carried unchanged), diffuse picks one GI ray uniformly (weight
         # gi_count/(gi_count+1)).  TIR and reflective have one child
         # anyway, so only variance on refractive/GI paths changes.
-        r_coin = jax.random.uniform(jax.random.fold_in(key, 1), (n,),
-                                    weight.dtype)
+        r_coin = (rnd_coin if rnd_coin is not None else
+                  jax.random.uniform(jax.random.fold_in(key, 1), (n,),
+                                     weight.dtype))
         c_o = hit.position                      # dead default (w=0)
         c_d = jnp.zeros((n, 3), weight.dtype).at[:, 2].set(-1.0)
         c_w = jnp.zeros((n,), weight.dtype)

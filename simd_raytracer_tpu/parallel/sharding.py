@@ -65,6 +65,11 @@ def render_frame_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     if key is None:
         seed = cfg.rng_seed if cfg.rng_seed is not None else 0
         key = jax.random.PRNGKey(seed)
+    # Replicate the key onto THIS mesh explicitly: a caller-created key
+    # committed to a single device trips an internal assertion on the
+    # jit-cache fast path when the same function later runs on a larger
+    # mesh (jax 0.9 sharp edge, bisected via bench.py --mesh).
+    key = jax.device_put(key, NamedSharding(mesh, P()))
     h, w, spp = scene.height, scene.width, cfg.samples_per_pixel
     total = h * w * spp
     nd = mesh.devices.size
@@ -140,10 +145,16 @@ def train_step_sharded(params, skeleton: Scene, cfg: RenderConfig,
     """
 
     # XLA:CPU heap-corrupts when differentiating the per-bounce lax.cond
-    # skips inside shard_map (bisected; values are identical either way),
-    # so the sharded train step always runs the cond-free graph.
-    import dataclasses
-    cfg = dataclasses.replace(cfg, bounce_skip=False)
+    # skips inside shard_map (reproducer: scripts/repro_shard_skip.py —
+    # depth>=1 crashes, depth=0 is clean, minimal cond probes all pass,
+    # so it is an XLA:CPU conditional-codegen bug our graph tickles, not
+    # a formulation choice; values are identical either way).  Only the
+    # CPU backend runs the cond-free graph; TPU meshes keep the real
+    # skip-enabled graph.  tests/test_shard_skip_regression.py turns
+    # strict-xfail the day an XLA upgrade fixes it.
+    if any(d.platform == "cpu" for d in mesh.devices.flat):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, bounce_skip=False)
 
     def shard_fn(params_rep, skel_rep, ids_s, tgt_s, seed_s, accel_rep):
         key = jax.random.PRNGKey(0)

@@ -56,6 +56,48 @@ def test_sweep_select_matches_brute_force(cull):
     assert (np.asarray(bi)[hb] == np.asarray(si)[hb]).all()
 
 
+def test_sweep_tmax_window_and_any_hit():
+    """t_max drops hits at/beyond the window; any_hit matches the
+    occlusion predicate (exists accepted hit with t < t_max)."""
+    scene = parse_scene_file(str(SCENES / "hw11/scene8.crtscene"))
+    geom = derive_geometry(scene)
+    sel = make_sweep_select(build_sweep_for_scene(scene))
+    o, d = _rand_rays(scene, 512, seed=3)
+    bi, bh = mt_select(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                       geom.tri_valid)
+    from simd_raytracer_tpu.ops.intersect import mt_refine
+    bt, _, _ = mt_refine(o, d, geom.v0[bi], geom.e1[bi], geom.e2[bi])
+    bt = np.where(np.asarray(bh), np.asarray(bt), np.inf)
+
+    # window below every hit -> no hits; window above -> same winners
+    _, sh_lo = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                   geom.tri_valid, t_max=jnp.full(512, 1e-3))
+    assert not np.asarray(sh_lo).any()
+    si_hi, sh_hi = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                       geom.tri_valid, t_max=jnp.full(512, 1e9))
+    assert (np.asarray(sh_hi) == np.asarray(bh)).all()
+    hb = np.asarray(bh)
+    assert (np.asarray(si_hi)[hb] == np.asarray(bi)[hb]).all()
+
+    # a mid window keeps exactly the hits strictly inside it (rays whose
+    # winner t sits AT the window edge are ulp-order dependent — skip)
+    tm_val = float(np.median(bt[np.isfinite(bt)]))
+    tmax = jnp.full(512, tm_val)
+    _, sh_mid = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                    geom.tri_valid, t_max=tmax)
+    expect = bt < tm_val
+    off_edge = np.abs(bt - tm_val) > 1e-5 * tm_val
+    assert (np.asarray(sh_mid) == expect)[off_edge].all()
+
+    # any_hit returns the same predicate for every window
+    for tm in (jnp.full(512, 1e-3), tmax, jnp.full(512, 1e9)):
+        _, sh_c = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                      geom.tri_valid, t_max=tm)
+        _, sh_a = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                      geom.tri_valid, t_max=tm, any_hit=True)
+        assert (np.asarray(sh_a) == np.asarray(sh_c)).all()
+
+
 def test_sweep_render_equals_brute_force():
     scene = parse_scene_file(str(SCENES / "hw15/scene2.crtscene")).replace(
         height=18, width=24)
