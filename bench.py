@@ -61,8 +61,12 @@ def _render_throughput(scene, cfg, accel=None, repeats=3, min_pipe=4):
     t0 = time.perf_counter()
     sums = [jnp.sum(render_frame(scene, cfg, key=k, accel=accel))
             for k in keys]
-    vals = [float(s) for s in sums]
-    assert all(v == v for v in vals), "NaN frame sum"
+    # ONE stacked readback forces every frame (the stack depends on all
+    # of them) without paying the ~25 ms tunnel round trip per frame
+    # that per-scalar float() readbacks were measured to cost.
+    import numpy as np
+    vals = np.asarray(jnp.stack(sums))
+    assert np.isfinite(vals).all(), "NaN frame sum"
     return (time.perf_counter() - t0) / n_pipe, latency
 
 
@@ -205,7 +209,13 @@ def phase_mesh(args):
                        intersector=args.intersector,
                        bounce_mode=args.bounce_mode)
     rays = scene.height * scene.width * args.spp
-    nd = min(args.mesh, len(jax.devices()))
+    nd = args.mesh
+    if nd > len(jax.devices()):
+        # Never silently clamp: a 1-device host would "measure" every
+        # size on one device and report trivial 1.0 efficiency.  The
+        # parent forces a virtual CPU mesh of the right size.
+        raise SystemExit(f"mesh size {nd} > {len(jax.devices())} "
+                         f"available {jax.default_backend()} devices")
     mesh = make_mesh(nd)
     _force(render_frame_sharded(scene, cfg, mesh))
     reps = 2
@@ -267,8 +277,18 @@ def main() -> int:
                    "--intersector", args.intersector,
                    "--bounce-mode", args.bounce_mode,
                    "--mesh", str(nd), "--_phase", "mesh"]
+            env = dict(os.environ)
+            if not env.get("BENCH_MESH_REAL"):
+                # Single-TPU tunnel: measure sharding overhead on a
+                # virtual CPU mesh sized to the request (as conftest.py
+                # does).  Set BENCH_MESH_REAL=1 on a real pod slice to
+                # use the actual devices instead.
+                env["JAX_PLATFORMS"] = "cpu"
+                env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                                    " --xla_force_host_platform_"
+                                    f"device_count={nd}")
             r = subprocess.run(cmd, capture_output=True, text=True,
-                               timeout=3600)
+                               timeout=3600, env=env)
             if r.returncode != 0 or not r.stdout.strip():
                 sys.stderr.write(f"[mesh {nd} failed]\n"
                                  + r.stderr[-2000:] + "\n")

@@ -70,12 +70,13 @@ def run_one(key: str) -> int:
     force(render_frame(scene, cfg, accel=accel))
     compile_s = time.perf_counter() - t0
 
-    n_pipe = 4
+    n_pipe = 8
     keys = [jax.random.PRNGKey(100 + i) for i in range(n_pipe)]
     t0 = time.perf_counter()
     sums = [jnp.sum(render_frame(scene, cfg, key=k, accel=accel))
             for k in keys]
-    _ = [float(s) for s in sums]
+    import numpy as np
+    assert np.isfinite(np.asarray(jnp.stack(sums))).all()
     per_frame = (time.perf_counter() - t0) / n_pipe
     rays = h * w * spp
     print(json.dumps({

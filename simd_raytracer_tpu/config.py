@@ -71,6 +71,14 @@ class RenderConfig:
     # False falls back to one full-width query gated by a single
     # any-lit cond.  Rendered values identical either way.
     shadow_compact: bool = True
+    # Ray-id traversal order within a frame: "linear" walks pixels
+    # row-major; "tiled" walks 32x32 pixel blocks so each Pallas ray
+    # tile covers a compact screen region (tight origin/direction
+    # interval boxes -> the sweep kernel's tile-level culling actually
+    # fires); "auto" picks tiled for the sweep intersector and linear
+    # otherwise.  The estimator is unchanged; for spp > 1 the jitter
+    # stream assignment differs (same distribution, different values).
+    ray_order: str = "auto"
     # Per-bounce lax.cond skips (dead-wavefront early exit, unlit-ray
     # occlusion skip, compaction dispatch).  Identical rendered values
     # either way — False trades the sparse-bounce savings for a
@@ -87,6 +95,8 @@ class RenderConfig:
             raise ValueError(f"bad intersector {self.intersector!r}")
         if self.bounce_mode not in ("split", "roulette"):
             raise ValueError(f"bad bounce_mode {self.bounce_mode!r}")
+        if self.ray_order not in ("auto", "linear", "tiled"):
+            raise ValueError(f"bad ray_order {self.ray_order!r}")
 
     @property
     def child_slots(self) -> int:

@@ -1,20 +1,31 @@
 """Block-sparse Pallas sweep: closest hit via AABB-culled slice packets.
 
-Grid = (ray tiles, slices).  Each step holds one 256-ray tile and one
-128-triangle slice (accel/sweep.py) in VMEM; a slab test of the tile
-against the slice's tight AABB gates the packet Moller-Trumbore behind
-`@pl.when`, so the VPU only pays for (tile, slice) pairs that can
-intersect — the attention-style block-sparsity trick applied to ray
-tracing.  This is the performance-bearing rebuild of the reference's
-namesake kernel: the same 9-lane-vector packet intersect + running-winner
-merge as kd_tree_simd.hpp:26-60/:266-302, with the kd *traversal* replaced
-by dense streaming + culling (SURVEY.md §7: "brute-force Pallas over all
+Each 128/256-triangle slice (accel/sweep.py) is a VPU-shaped SoA packet
+with a tight AABB; ray tiles stream past the slices and skip the packet
+Moller-Trumbore for (ray-tile, slice) pairs that cannot intersect — the
+attention-style block-sparsity trick applied to ray tracing.  This is
+the performance-bearing rebuild of the reference's namesake kernel: the
+same 9-lane-vector packet intersect + running-winner merge as
+kd_tree_simd.hpp:26-60/:266-302, with the kd *traversal* replaced by
+dense streaming + culling (SURVEY.md §7: "brute-force Pallas over all
 triangles may beat traversal — measure"; this keeps the stream but skips
 the dead blocks).
 
-Per-ray running winners (best_t, best id) live in VMEM scratch across the
-slice grid dimension; ties resolve to the lowest global triangle id, so
-results are identical to every other backend.
+Culling happens OUTSIDE the kernel: a conservative (ray-tile, slice)
+reach matrix is computed on the XLA side with interval arithmetic over
+each tile's origin/direction bounding boxes, and the kernel reads one
+int per (tile, slice) from SMEM to gate the packet test.  Per-ray slab
+tests inside the kernel would run on (R, 3)/(R, 1) column layouts that
+use 1-3 of the VPU's 128 lanes — measured ~2x slower than brute force
+at reference scene sizes; the SMEM gate makes a culled pair cost one
+scalar read + branch, so background tiles are nearly free.
+
+Per-ray running winners (best_t, best id) live in VMEM scratch across
+the slice dimension; ties resolve to the lowest global triangle id, so
+results are identical to every other backend (dropping the per-ray slab
+test cannot change winners: any accepted Moller-Trumbore hit lies
+inside its slice's AABB, and the min-merge discards hits beyond the
+current best anyway).
 """
 
 from __future__ import annotations
@@ -33,91 +44,132 @@ IMAX = 2**31 - 1
 R_TILE = 512
 
 
-def _kernel(o_ref, d_ref, tmax_ref, tri_ref, aabb_ref, ids_ref, mask_ref,
+def _tile_reach(o, d, tmax, aabb, r_tile: int):
+    """Conservative (tiles, slices) int32 reach matrix.
+
+    A slice is reachable from a tile unless interval arithmetic over the
+    tile's origin box x direction box PROVES no ray can enter the slice
+    AABB within [0, max over tile of t_max].  Direction intervals that
+    span zero constrain nothing on that axis (their 1/d interval is the
+    whole line), so the test degrades gracefully for incoherent tiles —
+    it only ever over-approximates, never culls a genuine hit.
+    """
+    p = o.shape[0] // r_tile
+    o_t = o.reshape(p, r_tile, 3)
+    d_t = d.reshape(p, r_tile, 3)
+    o_lo, o_hi = o_t.min(axis=1), o_t.max(axis=1)          # (P, 3)
+    d_lo, d_hi = d_t.min(axis=1), d_t.max(axis=1)
+    tcap = tmax.reshape(p, r_tile).max(axis=1)             # (P,)
+    bmin, bmax = aabb[:, 0:3], aabb[:, 3:6]                # (S, 3)
+    box_valid = jnp.all(bmax >= bmin, axis=1)              # (S,)
+
+    # 1/d over a sign-uniform interval is [1/d_hi, 1/d_lo]; clamp the
+    # near-zero blowup to +-BIG so 0 * inf never makes a NaN below
+    # (NaN would compare False and cull a reachable slice).
+    uniform = (d_lo > 0.0) | (d_hi < 0.0)                  # (P, 3)
+    inv_lo = jnp.clip(1.0 / jnp.where(uniform, d_hi, 1.0), -BIG, BIG)
+    inv_hi = jnp.clip(1.0 / jnp.where(uniform, d_lo, 1.0), -BIG, BIG)
+
+    # numerator intervals per (tile, slice, axis)
+    na_lo = bmin[None] - o_hi[:, None]                     # (P, S, 3)
+    na_hi = bmin[None] - o_lo[:, None]
+    nb_lo = bmax[None] - o_hi[:, None]
+    nb_hi = bmax[None] - o_lo[:, None]
+
+    def prod_bounds(n_lo, n_hi, i_lo, i_hi):
+        p1, p2 = n_lo * i_lo, n_lo * i_hi
+        p3, p4 = n_hi * i_lo, n_hi * i_hi
+        return (jnp.minimum(jnp.minimum(p1, p2), jnp.minimum(p3, p4)),
+                jnp.maximum(jnp.maximum(p1, p2), jnp.maximum(p3, p4)))
+
+    il, ih = inv_lo[:, None, :], inv_hi[:, None, :]
+    ta_lo, ta_hi = prod_bounds(na_lo, na_hi, il, ih)
+    tb_lo, tb_hi = prod_bounds(nb_lo, nb_hi, il, ih)
+    # near = min(tA, tB) pointwise (whichever plane the ray enters
+    # first), so its lower bound is min of the lower bounds; dually far.
+    near_lo = jnp.minimum(ta_lo, tb_lo)
+    far_hi = jnp.maximum(ta_hi, tb_hi)
+    unb = ~uniform[:, None, :]
+    near_lo = jnp.where(unb, -BIG, near_lo)
+    far_hi = jnp.where(unb, BIG, far_hi)
+    t_near = jnp.maximum(jnp.max(near_lo, axis=2), 0.0)    # (P, S)
+    t_far = jnp.min(far_hi, axis=2)
+    reach = (t_far >= t_near) & (t_near <= tcap[:, None])
+    return (reach & box_valid[None, :]).astype(jnp.int32)
+
+
+def _mt_merge(o, d, tri, gid, mask, best_t, best_i, *, eps, cull, any_hit):
+    """Classic packet Moller-Trumbore of (R,) rays x (T,) lanes, merged
+    into the running (best_t, best_i).  Math identical to mt_pairs
+    (ops/intersect.py) so winners are bitwise equal to brute force."""
+    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]           # (R, 1)
+    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    v0x, v0y, v0z = tri[0:1, :], tri[1:2, :], tri[2:3, :]  # (1, T)
+    e1x, e1y, e1z = tri[3:4, :], tri[4:5, :], tri[5:6, :]
+    e2x, e2y, e2z = tri[6:7, :], tri[7:8, :], tri[8:9, :]
+
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    if cull:
+        ok = det > eps
+    else:
+        ok = jnp.abs(det) > eps
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+
+    tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+    u = (tvx * px + tvy * py + tvz * pz) * inv_det
+    ok &= (u >= 0.0) & (u <= 1.0)
+    qx = tvy * e1z - tvz * e1y
+    qy = tvz * e1x - tvx * e1z
+    qz = tvx * e1y - tvy * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    ok &= (v >= 0.0) & (u + v <= 1.0)
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    ok &= t > eps
+    ok &= mask > 0                                         # (1, T)
+
+    t_m = jnp.where(ok, t, BIG)
+    blk_t = jnp.min(t_m, axis=1, keepdims=True)
+    blk_i = jnp.min(jnp.where(t_m == blk_t, gid, IMAX),
+                    axis=1, keepdims=True)
+    # blk_t == BIG rows (no accepted lane) tie-match every lane in the
+    # where() above, so blk_i is a bogus min(gid) there — gate the whole
+    # update on a real candidate t.  best_t seeded with t_max makes the
+    # window INCLUSIVE (t == t_max ties the seed and wins on blk_i <
+    # IMAX), matching the reference's t <= max_t (render.hpp:121).
+    upd = ((blk_t < best_t)
+           | ((blk_t == best_t) & (blk_i < best_i))) & (blk_t < BIG)
+    new_t = jnp.where(upd, blk_t, best_t)
+    new_i = jnp.where(upd, blk_i, best_i)
+    if any_hit:
+        # Occlusion only needs the predicate: best_t = -1 sits below
+        # every genuine t (> eps), so a decided ray never updates again.
+        new_t = jnp.where(new_i != IMAX, -1.0, new_t)
+    return new_t, new_i
+
+
+def _kernel(reach_ref, o_ref, d_ref, tmax_ref, tri_ref, ids_ref, mask_ref,
             idx_out, hit_out, best_t, best_i, *, eps: float, cull: bool,
             any_hit: bool):
+    """Streaming variant: grid = (ray tiles, slices); one slice's packet
+    in VMEM per step, running winners in scratch across the slice dim.
+    reach_ref is the full (P, S) scalar-prefetch matrix in SMEM."""
+    i = pl.program_id(0)
     j = pl.program_id(1)
     ns = pl.num_programs(1)
 
     @pl.when(j == 0)
     def _():
-        # Seeding the running winner with the caller's t_max culls every
-        # slice beyond it (shadow rays stop at the light) — hits at
-        # exactly t_max are dropped, matching is_occluded's strict march
-        # window shrinking (render.hpp:121-128 re-origins past the hit).
         best_t[:] = tmax_ref[:]
         best_i[:] = jnp.full_like(best_i, IMAX)
 
-    o = o_ref[:]                      # (R, 3)
-    d = d_ref[:]
-    inv_d = 1.0 / d
-    bmin = aabb_ref[0, :, 0:3]        # (1, 3)
-    bmax = aabb_ref[0, :, 3:6]
-    t0 = (bmin - o) * inv_d
-    t1 = (bmax - o) * inv_d
-    lo = jnp.minimum(t0, t1)
-    hi = jnp.maximum(t0, t1)
-    lo = jnp.where(jnp.isnan(lo), -BIG, lo)
-    hi = jnp.where(jnp.isnan(hi), BIG, hi)
-    t_near = jnp.maximum(jnp.max(lo, axis=1, keepdims=True), 0.0)  # (R,1)
-    t_far = jnp.min(hi, axis=1, keepdims=True)
-    # Empty slices carry an inverted sentinel box; the per-axis lo/hi
-    # swap above would re-validate it, so cull on box validity explicitly.
-    box_valid = jnp.all(bmax >= bmin)
-    reach = (t_far >= t_near) & (t_near <= best_t[:]) & box_valid
-
-    @pl.when(jnp.any(reach))
+    @pl.when(reach_ref[i, j] > 0)
     def _():
-        ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]       # (R, 1)
-        dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-        v0x, v0y, v0z = tri_ref[0, 0:1, :], tri_ref[0, 1:2, :], \
-            tri_ref[0, 2:3, :]                              # (1, T)
-        e1x, e1y, e1z = tri_ref[0, 3:4, :], tri_ref[0, 4:5, :], \
-            tri_ref[0, 5:6, :]
-        e2x, e2y, e2z = tri_ref[0, 6:7, :], tri_ref[0, 7:8, :], \
-            tri_ref[0, 8:9, :]
-
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        if cull:
-            ok = det > eps
-        else:
-            ok = jnp.abs(det) > eps
-        inv_det = 1.0 / jnp.where(ok, det, 1.0)
-
-        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-        u = (tvx * px + tvy * py + tvz * pz) * inv_det
-        ok &= (u >= 0.0) & (u <= 1.0)
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * inv_det
-        ok &= (v >= 0.0) & (u + v <= 1.0)
-        t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-        ok &= t > eps
-        ok &= mask_ref[0] > 0                               # (1, T)
-        ok &= reach                                         # per-ray gate
-
-        gid = ids_ref[0]                                    # (1, T) i32
-        t_m = jnp.where(ok, t, BIG)
-        blk_t = jnp.min(t_m, axis=1, keepdims=True)
-        blk_i = jnp.min(jnp.where(t_m == blk_t, gid, IMAX),
-                        axis=1, keepdims=True)
-        cur_t, cur_i = best_t[:], best_i[:]
-        # blk_t == BIG rows (no accepted lane) tie-match every lane in
-        # the where() above, so blk_i is a bogus min(gid) there — gate
-        # the whole update on a real candidate t.
-        upd = ((blk_t < cur_t)
-               | ((blk_t == cur_t) & (blk_i < cur_i))) & (blk_t < BIG)
-        best_t[:] = jnp.where(upd, blk_t, cur_t)
-        best_i[:] = jnp.where(upd, blk_i, cur_i)
-        if any_hit:
-            # Occlusion only needs the predicate: once a ray has any
-            # accepted hit inside its window, best_t = -1 fails the
-            # t_near >= 0 reach test for every remaining slice.
-            best_t[:] = jnp.where(best_i[:] != IMAX, -1.0, best_t[:])
+        best_t[:], best_i[:] = _mt_merge(
+            o_ref[:], d_ref[:], tri_ref[0], ids_ref[0], mask_ref[0],
+            best_t[:], best_i[:], eps=eps, cull=cull, any_hit=any_hit)
 
     @pl.when(j == ns - 1)
     def _():
@@ -126,81 +178,28 @@ def _kernel(o_ref, d_ref, tmax_ref, tri_ref, aabb_ref, ids_ref, mask_ref,
         hit_out[:] = won.astype(jnp.int32)
 
 
-def _kernel_resident(o_ref, d_ref, tmax_ref, tri_ref, aabb_ref, ids_ref,
+def _kernel_resident(reach_ref, o_ref, d_ref, tmax_ref, tri_ref, ids_ref,
                      mask_ref, idx_out, hit_out, *, eps: float,
                      cull: bool, any_hit: bool, n_slices: int):
     """Scene-resident variant: grid = ray tiles ONLY; the whole sliced
     triangle soup lives in VMEM (a reference-scale scene is ~150 KB) and
-    the slice sweep is an in-kernel loop whose Moller-Trumbore body is
-    gated per slice by the tile's slab test.  Culled slices cost a
-    handful of VPU ops — no per-step DMA, no grid-step dispatch — which
-    is what the (tile, slice) grid version pays even for dead blocks.
-    """
+    the slice sweep is an in-kernel loop gated per slice by the
+    scalar-prefetched (P, S) reach row in SMEM — a culled slice costs
+    one scalar read + branch, no per-step DMA, no grid-step dispatch."""
+    i = pl.program_id(0)
     o = o_ref[:]                      # (R, 3)
     d = d_ref[:]
-    inv_d = 1.0 / d
     r = o.shape[0]
 
     def slice_step(j, carry):
         best_t, best_i = carry
-        bmin = aabb_ref[j, :, 0:3]        # (1, 3)
-        bmax = aabb_ref[j, :, 3:6]
-        t0 = (bmin - o) * inv_d
-        t1 = (bmax - o) * inv_d
-        lo = jnp.minimum(t0, t1)
-        hi = jnp.maximum(t0, t1)
-        lo = jnp.where(jnp.isnan(lo), -BIG, lo)
-        hi = jnp.where(jnp.isnan(hi), BIG, hi)
-        t_near = jnp.maximum(jnp.max(lo, axis=1, keepdims=True), 0.0)
-        t_far = jnp.min(hi, axis=1, keepdims=True)
-        box_valid = jnp.all(bmax >= bmin)
-        reach = (t_far >= t_near) & (t_near <= best_t) & box_valid
 
         def mt(_):
-            ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-            dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
-            tri = tri_ref[j]                                # (9, T)
-            v0x, v0y, v0z = tri[0:1, :], tri[1:2, :], tri[2:3, :]
-            e1x, e1y, e1z = tri[3:4, :], tri[4:5, :], tri[5:6, :]
-            e2x, e2y, e2z = tri[6:7, :], tri[7:8, :], tri[8:9, :]
+            return _mt_merge(o, d, tri_ref[j], ids_ref[j], mask_ref[j],
+                             best_t, best_i, eps=eps, cull=cull,
+                             any_hit=any_hit)
 
-            px = dy * e2z - dz * e2y
-            py = dz * e2x - dx * e2z
-            pz = dx * e2y - dy * e2x
-            det = e1x * px + e1y * py + e1z * pz
-            if cull:
-                ok = det > eps
-            else:
-                ok = jnp.abs(det) > eps
-            inv_det = 1.0 / jnp.where(ok, det, 1.0)
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            u = (tvx * px + tvy * py + tvz * pz) * inv_det
-            ok &= (u >= 0.0) & (u <= 1.0)
-            qx = tvy * e1z - tvz * e1y
-            qy = tvz * e1x - tvx * e1z
-            qz = tvx * e1y - tvy * e1x
-            v = (dx * qx + dy * qy + dz * qz) * inv_det
-            ok &= (v >= 0.0) & (u + v <= 1.0)
-            t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            ok &= t > eps
-            ok &= mask_ref[j] > 0                           # (1, T)
-            ok &= reach
-
-            gid = ids_ref[j]                                # (1, T)
-            t_m = jnp.where(ok, t, BIG)
-            blk_t = jnp.min(t_m, axis=1, keepdims=True)
-            blk_i = jnp.min(jnp.where(t_m == blk_t, gid, IMAX),
-                            axis=1, keepdims=True)
-            upd = ((blk_t < best_t)
-                   | ((blk_t == best_t) & (blk_i < best_i))) \
-                & (blk_t < BIG)
-            new_t = jnp.where(upd, blk_t, best_t)
-            new_i = jnp.where(upd, blk_i, best_i)
-            if any_hit:
-                new_t = jnp.where(new_i != IMAX, -1.0, new_t)
-            return new_t, new_i
-
-        return jax.lax.cond(jnp.any(reach), mt,
+        return jax.lax.cond(reach_ref[i, j] > 0, mt,
                             lambda _: (best_t, best_i), 0)
 
     init = (jnp.broadcast_to(tmax_ref[:], (r, 1)),
@@ -219,7 +218,7 @@ RESIDENT_MAX_BYTES = 6 << 20
 @functools.partial(jax.jit,
                    static_argnames=("eps", "cull", "any_hit", "r_tile",
                                     "interpret"))
-def _sweep_call_resident(o, d, tmax, tri_soa, aabb, ids, mask, eps: float,
+def _sweep_call_resident(o, d, tmax, reach, tri_soa, ids, mask, eps: float,
                          cull: bool, any_hit: bool = False,
                          r_tile: int = R_TILE, interpret: bool = False):
     r = o.shape[0]
@@ -229,43 +228,35 @@ def _sweep_call_resident(o, d, tmax, tri_soa, aabb, ids, mask, eps: float,
                              any_hit=any_hit, n_slices=s)
     idx, hit = pl.pallas_call(
         kern,
-        grid=(pl.cdiv(r, r_tile),),
-        in_specs=[
-            pl.BlockSpec((r_tile, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 9, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 1, 8), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 1, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((s, 1, t), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((r_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((r_tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(pl.cdiv(r, r_tile),),
+            in_specs=[
+                pl.BlockSpec((r_tile, 3), lambda i, reach: (i, 0)),
+                pl.BlockSpec((r_tile, 3), lambda i, reach: (i, 0)),
+                pl.BlockSpec((r_tile, 1), lambda i, reach: (i, 0)),
+                pl.BlockSpec((s, 9, t), lambda i, reach: (0, 0, 0)),
+                pl.BlockSpec((s, 1, t), lambda i, reach: (0, 0, 0)),
+                pl.BlockSpec((s, 1, t), lambda i, reach: (0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((r_tile, 1), lambda i, reach: (i, 0)),
+                pl.BlockSpec((r_tile, 1), lambda i, reach: (i, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o, d, tmax, tri_soa, aabb[:, None, :], ids[:, None, :],
-      mask[:, None, :])
+    )(reach, o, d, tmax, tri_soa, ids[:, None, :], mask[:, None, :])
     return idx[:, 0], hit[:, 0]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("eps", "cull", "any_hit", "r_tile",
                                     "interpret"))
-def _sweep_call(o, d, tmax, tri_soa, aabb, ids, mask, eps: float,
+def _sweep_call(o, d, tmax, reach, tri_soa, ids, mask, eps: float,
                 cull: bool, any_hit: bool = False, r_tile: int = R_TILE,
                 interpret: bool = False):
     R_TILE = r_tile
@@ -276,32 +267,26 @@ def _sweep_call(o, d, tmax, tri_soa, aabb, ids, mask, eps: float,
     kern = functools.partial(_kernel, eps=eps, cull=cull, any_hit=any_hit)
     idx, hit = pl.pallas_call(
         kern,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((R_TILE, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_TILE, 3), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_TILE, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 9, t), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # 3-D (S, 1, x) layouts: Mosaic wants the last two block dims
-            # divisible by (8, 128) or equal to the array dims; (1, x)
-            # blocks of a 2-D (S, x) array violate the sublane rule.
-            pl.BlockSpec((1, 1, 8), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, t), lambda i, j: (j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((R_TILE, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R_TILE, 1), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((R_TILE, 3), lambda i, j, reach: (i, 0)),
+                pl.BlockSpec((R_TILE, 3), lambda i, j, reach: (i, 0)),
+                pl.BlockSpec((R_TILE, 1), lambda i, j, reach: (i, 0)),
+                # 3-D (S, 1, x) layouts: Mosaic wants the last two block
+                # dims divisible by (8, 128) or equal to the array dims;
+                # (1, x) blocks of a 2-D (S, x) array violate the
+                # sublane rule.
+                pl.BlockSpec((1, 9, t), lambda i, j, reach: (j, 0, 0)),
+                pl.BlockSpec((1, 1, t), lambda i, j, reach: (j, 0, 0)),
+                pl.BlockSpec((1, 1, t), lambda i, j, reach: (j, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((R_TILE, 1), lambda i, j, reach: (i, 0)),
+                pl.BlockSpec((R_TILE, 1), lambda i, j, reach: (i, 0)),
+            ],
+        ),
         out_shape=[
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
@@ -311,8 +296,7 @@ def _sweep_call(o, d, tmax, tri_soa, aabb, ids, mask, eps: float,
             pltpu.VMEM((R_TILE, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o, d, tmax, tri_soa, aabb[:, None, :], ids[:, None, :],
-      mask[:, None, :])
+    )(reach, o, d, tmax, tri_soa, ids[:, None, :], mask[:, None, :])
     return idx[:, 0], hit[:, 0]
 
 
@@ -325,11 +309,11 @@ def make_sweep_select(sweep, interpret: Optional[bool] = None,
     (select is stop-gradiented; the differentiable refine re-derives the
     winner's t/u/v from live vertices, ops/intersect.py).
 
-    Extra (sweep-only) kwargs: t_max (N,) drops hits at or beyond it and
-    culls the slices past it; any_hit=True returns the first accepted
-    hit inside the window instead of the closest (occlusion predicate —
-    the winner id is then query-order dependent, only hit-ness is
-    specified).
+    Extra (sweep-only) kwargs: t_max (N,) accepts hits with t <= t_max
+    (inclusive, like the reference's `t <= max_t`) and culls the slices
+    past it; any_hit=True returns the first accepted hit inside the
+    window instead of the closest (occlusion predicate — the winner id
+    is then query-order dependent, only hit-ness is specified).
     """
 
     rt = r_tile if r_tile is not None else getattr(sweep, "r_tile", R_TILE)
@@ -358,9 +342,14 @@ def make_sweep_select(sweep, interpret: Optional[bool] = None,
         if rp != r:
             o32 = jnp.pad(o32, ((0, rp - r), (0, 0)))
             d32 = jnp.pad(d32, ((0, rp - r), (0, 0)), constant_values=1.0)
-        resident = sweep.tri_soa.size * 4 <= RESIDENT_MAX_BYTES
+        reach = _tile_reach(o32, d32, tm[:, 0], sweep.aabb, r_tile)
+        # Budget everything the resident kernel pins in VMEM: tri_soa
+        # (S,9,T) plus ids + mask ((S,T) i32 each -> 11/9 of tri_soa);
+        # the ray tiles are small by comparison.
+        resident_bytes = (sweep.tri_soa.size * 4 * 11) // 9
+        resident = resident_bytes <= RESIDENT_MAX_BYTES
         call = _sweep_call_resident if resident else _sweep_call
-        idx, hit = call(o32, d32, tm, sweep.tri_soa, sweep.aabb,
+        idx, hit = call(o32, d32, tm, reach, sweep.tri_soa,
                         ids, mask, float(eps), bool(cull),
                         any_hit=bool(any_hit), r_tile=r_tile,
                         interpret=bool(interp))

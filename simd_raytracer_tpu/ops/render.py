@@ -160,7 +160,7 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
             bg2 = jnp.zeros((n * k,), bool).at[cidx].set(bgc)
             return contrib, (o2, d2, w2, bg2)
 
-        def bounce_segmented(args, cap):
+        def bounce_segmented(args, cap, order):
             # Exact sparse execution: sort the wavefront alive-first (by
             # SLOT, randomness travels with the ray), cut it into
             # cap-wide segments, and lax.map a single compiled
@@ -171,9 +171,13 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
             # per depth — no K^depth-wide fallback graphs to compile.
             # Children of the ray in slot s scatter to s*K..s*K+K-1,
             # preserving the contiguous-block fold-back invariant.
+            # `order` (alive-first slot permutation) is computed by the
+            # caller OUTSIDE the lax.cond — a sort inside a
+            # differentiated cond branch heap-corrupts XLA:CPU under
+            # shard_map (same invariant as render.py's tiered dispatch
+            # and shade.py's shadow compaction).
             n = args[2].shape[0]
             k = 1 if last else cfg.child_slots
-            order = jnp.argsort(~(args[2] > 0.0), stable=True)
             segs = n // cap
             seg_in = tuple(a[order].reshape((segs, cap) + a.shape[1:])
                            for a in args)
@@ -204,7 +208,6 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
             if cfg.bounce_mode == "roulette":
                 cap = (n_cur // cfg.compact_factor
                        if cfg.compact_factor > 1 else n_cur)
-                overflow_fn = bounce_body
             else:
                 # split widens by K each bounce but the live count stays
                 # ~chunk-sized (only refractive hits branch): compact to
@@ -215,12 +218,18 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
                 # giant graphs (the old full-width fallbacks took ~17
                 # min at 960^2) yet every case stays exact.
                 cap = min(r0, n_cur)
-                overflow_fn = functools.partial(bounce_segmented, cap=cap)
             if 0 < cap < n_cur and n_cur % cap == 0:
                 alive_n = jnp.sum(weight > 0.0)
                 # sorted OUTSIDE the conds (sort inside a differentiated
-                # cond branch heap-corrupts XLA:CPU under shard_map)
+                # cond branch heap-corrupts XLA:CPU under shard_map);
+                # both the compact and the segmented-overflow branch
+                # consume the same alive-first permutation.
                 order = jnp.argsort(~(weight > 0.0), stable=True)
+                if cfg.bounce_mode == "roulette":
+                    overflow_fn = bounce_body
+                else:
+                    overflow_fn = functools.partial(bounce_segmented,
+                                                    cap=cap, order=order)
                 contrib, (o, d, weight, miss_bg) = jax.lax.cond(
                     alive_n == 0, bounce_skip,
                     lambda a: jax.lax.cond(
@@ -274,7 +283,20 @@ def _render_image(scene: Scene, cfg: RenderConfig,
         # Small sample buffer: the map + per-pixel reshape-sum is ~15%
         # faster than the scatter-add scan.
         colors = _render_ids.__wrapped__(scene, cfg, ids, keys, accel)
-        flat = colors.reshape(-1, 3)[:total]
+        flat = colors.reshape(-1, 3)
+        if resolved_ray_order(cfg) == "tiled":
+            # The tiled id order is a block transpose of padded full
+            # blocks (_tiled_ids), so the image is recovered with a
+            # reshape/transpose — no gather (a 2M-row gather measured
+            # ~200 ms/frame at 1080p; this is ~free).
+            b = TILE_BLOCK
+            nby, nbx = -(-h // b), -(-w // b)
+            n = nby * nbx * b * b * spp
+            blocks = flat[:n].reshape(nby, nbx, b, b, spp, 3)
+            img = blocks.transpose(0, 2, 1, 3, 4, 5).reshape(
+                nby * b, nbx * b, spp, 3)[:h, :w].sum(axis=2) / spp
+            return img
+        flat = flat[:total]
         img = flat.reshape(h * w, spp, 3).sum(axis=1) / spp
         return img.reshape(h, w, 3)
 
@@ -293,14 +315,49 @@ def _render_image(scene: Scene, cfg: RenderConfig,
     return (accum / spp).reshape(h, w, 3)
 
 
+def resolved_ray_order(cfg: RenderConfig) -> str:
+    if cfg.ray_order != "auto":
+        return cfg.ray_order
+    return "tiled" if cfg.intersector == "sweep" else "linear"
+
+
+# Screen-block edge for the tiled ray order.  32x32 keeps a 512-ray
+# Pallas tile inside one block for spp <= 2 (and a half block at spp 4),
+# which is what makes the sweep kernel's per-tile interval boxes tight.
+TILE_BLOCK = 32
+
+
+def _tiled_ids(h: int, w: int, spp: int, block: int = TILE_BLOCK
+               ) -> np.ndarray:
+    """Ray ids ordered by full (padded) screen blocks.
+
+    Every block is emitted complete — out-of-image pixels carry the
+    sentinel id h*w*spp (invalid, weight 0) — so the flat color buffer
+    has the exact shape (nby, nbx, block, block, spp, 3) and the image
+    is recovered with a pure transpose instead of a 2M-row gather
+    (measured ~200 ms/frame at 1080p; the transpose is ~free).  The
+    moral equivalent of the reference's bucket tiles
+    (tile/bucket.hpp:7-21), reused as a memory layout."""
+    nby, nbx = -(-h // block), -(-w // block)
+    by, bx, iy, ix = np.ogrid[0:nby, 0:nbx, 0:block, 0:block]
+    y = by * block + iy
+    x = bx * block + ix
+    pix = (y * w + x).astype(np.int64)
+    valid = (y < h) & (x < w)
+    ids = (pix[..., None] * spp + np.arange(spp, dtype=np.int64))
+    ids = np.where(valid[..., None], ids, h * w * spp)
+    return ids.reshape(-1)
+
+
 def make_ray_chunks(scene: Scene, cfg: RenderConfig, scheduling=None):
     """Host-side: (C, R0) int32 ray-id array covering H*W*spp, padded.
 
-    scheduling: None (linear pixel order — fastest, maximally coherent
-    chunks) or a parallel.tiles.SchedulingType replicating the reference's
-    tile orders (single / region grid / bucket tiles, tile/*.hpp).  The
-    rendered image is identical either way; order affects chunk locality
-    and which pixels finish first under progressive rendering.
+    scheduling: None (ray_order-controlled: linear pixel order or
+    32x32-block tiled order) or a parallel.tiles.SchedulingType
+    replicating the reference's tile orders (single / region grid /
+    bucket tiles, tile/*.hpp).  The estimator is identical either way;
+    order affects chunk locality, the sweep kernel's tile culling, and
+    which pixels finish first under progressive rendering.
     """
     total = scene.height * scene.width * cfg.samples_per_pixel
     r0 = cfg.chunk_size
@@ -310,9 +367,36 @@ def make_ray_chunks(scene: Scene, cfg: RenderConfig, scheduling=None):
                               bucket=scene.bucket_size)
         return schedule_to_chunks(tiles, scene.width,
                                   cfg.samples_per_pixel, r0, total)
+    if resolved_ray_order(cfg) == "tiled":
+        ids = _tiled_ids(scene.height, scene.width, cfg.samples_per_pixel)
+        c = -(-ids.size // r0)
+        pad = np.full(c * r0 - ids.size, total, np.int64)
+        return np.concatenate([ids, pad]).astype(np.int32).reshape(c, r0)
     c = -(-total // r0)
     ids = np.arange(c * r0, dtype=np.int32).reshape(c, r0)
     return ids
+
+
+_IDS_CACHE: dict = {}
+
+
+def _device_ray_chunks(scene: Scene, cfg: RenderConfig, scheduling):
+    """make_ray_chunks + one host->device upload, cached per geometry.
+
+    The id layout depends only on (H, W, spp, chunk, order); re-uploading
+    the ~8 MB id array through the TPU tunnel every frame measured
+    ~170 ms/frame at 1080p — it dominated the whole dragon render."""
+    key = (scene.height, scene.width, cfg.samples_per_pixel,
+           cfg.chunk_size, resolved_ray_order(cfg), scheduling,
+           jax.default_backend())
+    ent = _IDS_CACHE.get(key)
+    if ent is None:
+        ids_np = make_ray_chunks(scene, cfg, scheduling)
+        ent = (ids_np, jnp.asarray(ids_np))
+        if len(_IDS_CACHE) >= 8:
+            _IDS_CACHE.pop(next(iter(_IDS_CACHE)))
+        _IDS_CACHE[key] = ent
+    return ent
 
 
 def render_frame(scene: Scene, cfg: RenderConfig = RenderConfig(),
@@ -340,8 +424,7 @@ def render_frame(scene: Scene, cfg: RenderConfig = RenderConfig(),
         from ..accel.sweep import build_sweep_for_scene
         accel = build_sweep_for_scene(scene)
 
-    ids_np = make_ray_chunks(scene, cfg, scheduling)
-    ids = jnp.asarray(ids_np)
+    ids_np, ids = _device_ray_chunks(scene, cfg, scheduling)
     keys = jax.random.split(key, ids.shape[0])
     if scheduling is None:
         # Fast path: everything through the final (H, W, 3) image stays

@@ -74,9 +74,10 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
         if cfg.intersector == "sweep":
             # Occlusion is a pure predicate: seed the sweep's running
             # winner with the light distance (slices beyond it cull) and
-            # stop each ray at its first accepted hit.  Hits at exactly
-            # t == max_t are dropped (strict window) — a measure-zero
-            # divergence from the <= check below; `march` stays faithful.
+            # stop each ray at its first accepted hit.  The window is
+            # inclusive (t <= max_t occludes, via the kernel's tie-break
+            # against the seed), same as the check below and the
+            # reference's `t <= max_t` (render.hpp:121).
             _, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False,
                             mask, t_max=max_t, any_hit=True)
             return hit
@@ -137,8 +138,15 @@ def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
     cos_law = jnp.maximum(0.0, _dot(ldir, shade_n[:, None, :]))       # (N,L)
 
     shadow_o = hit.position[:, None, :] + cfg.shadow_bias * ldir
-    occ = occluded(shadow_o.reshape(-1, 3), ldir.reshape(-1, 3),
-                   r.reshape(-1), scene, geom, cfg, accel).reshape(n_rays, nl)
+    # Light-major batching: (N, L) -> (L, N) so consecutive shadow rays
+    # share one light (coherent directions from a coherent hit patch);
+    # ray-major interleaving would mix L different lights inside every
+    # sweep ray tile and blow up its direction interval boxes.  Pure
+    # layout change — per-ray occlusion results are order-independent.
+    occ = occluded(shadow_o.transpose(1, 0, 2).reshape(-1, 3),
+                   ldir.transpose(1, 0, 2).reshape(-1, 3),
+                   r.T.reshape(-1), scene, geom, cfg, accel
+                   ).reshape(nl, n_rays).T
 
     falloff = scene.light_intensity[None, :] / jnp.maximum(area, 1e-20)
     return jnp.sum(jnp.where(occ, 0.0, falloff * cos_law), axis=-1)
