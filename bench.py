@@ -134,7 +134,8 @@ def phase_backward(args, spp=None, gi=0, fd_check=False):
     import jax.numpy as jnp
     import numpy as np
     from simd_raytracer_tpu import RenderConfig
-    from simd_raytracer_tpu.ops.grad import loss_and_grad, split_params
+    from simd_raytracer_tpu.ops.grad import (loss_and_grad, split_params,
+                                             train_steps)
 
     scene = _load(args.scene, args.scale)
     spp = args.spp if spp is None else spp
@@ -150,23 +151,17 @@ def phase_backward(args, spp=None, gi=0, fd_check=False):
     # interior rays: center rays exercise the real backward path
     ids = jnp.arange(n, dtype=jnp.int32) + (total - n) // 2
     target = jnp.zeros((n, 3), jnp.float32)
-    loss0, g0 = loss_and_grad(params, skeleton, cfg, ids, target,
-                              jax.random.PRNGKey(0), accel)
-    float(loss0)   # forced warmup
-    n_steps = 8
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        loss_i, _ = loss_and_grad(params, skeleton, cfg, ids, target,
-                                  jax.random.PRNGKey(i), accel)
-        assert np.isfinite(float(loss_i))
-    per_step = (time.perf_counter() - t0) / n_steps
     pref = "northstar_" if gi else "fwd_bwd_"
-    out = {pref + "rays_per_sec": round(n / per_step, 1),
-           pref + "rays": n, pref + "spp": spp}
+    out = {}
     if fd_check:
         # FD-allclose on a scalar param (fixed key -> deterministic
-        # estimator): d(loss)/d(intensity) vs central difference.
-        import dataclasses
+        # estimator): d(loss)/d(intensity) vs central difference.  Runs
+        # BEFORE the scan executable — loss_and_grad is a different
+        # executable and the tunnel backend errors when one re-executes
+        # after another ran (CLAUDE.md quirk #2).
+        loss0, g0 = loss_and_grad(params, skeleton, cfg, ids, target,
+                                  jax.random.PRNGKey(0), accel)
+        float(loss0)
 
         def loss_at(di):
             p = dict(params)
@@ -182,6 +177,26 @@ def phase_backward(args, spp=None, gi=0, fd_check=False):
         rel = abs(fd - an) / max(abs(fd), abs(an), 1e-12)
         out[pref + "fd_rel_err"] = round(rel, 4)
         assert rel < 0.05, f"FD mismatch: analytic {an} vs FD {fd}"
+
+    # Throughput: n_steps SGD steps per executable call (lax.scan with
+    # donated params — one dispatch + one readback for the whole batch).
+    # Params are re-materialized as fresh buffers first; split_params
+    # aliases the skeleton's arrays and an aliased donation is refused.
+    n_steps = 8
+    p = jax.tree_util.tree_map(jnp.array, params)
+    p, losses = train_steps(p, skeleton, cfg, ids, target,
+                            jax.random.PRNGKey(0), n_steps=n_steps,
+                            accel=accel)
+    assert np.isfinite(np.asarray(losses)).all()   # forced warmup
+    t0 = time.perf_counter()
+    p, losses = train_steps(p, skeleton, cfg, ids, target,
+                            jax.random.PRNGKey(1), n_steps=n_steps,
+                            accel=accel)
+    assert np.isfinite(np.asarray(losses)).all()
+    per_step = (time.perf_counter() - t0) / n_steps
+    out.update({pref + "rays_per_sec": round(n / per_step, 1),
+                pref + "rays": n, pref + "spp": spp,
+                pref + "steps_per_call": n_steps})
     return out
 
 
@@ -268,6 +283,8 @@ def main() -> int:
 
     if args.mesh:
         # one subprocess per mesh size; aggregate efficiency here
+        import jax
+        n_real = len(jax.devices())
         sizes = [s for s in (1, 2, 4, 8) if s <= args.mesh]
         rows = {}
         for nd in sizes:
@@ -278,15 +295,21 @@ def main() -> int:
                    "--bounce-mode", args.bounce_mode,
                    "--mesh", str(nd), "--_phase", "mesh"]
             env = dict(os.environ)
-            if not env.get("BENCH_MESH_REAL"):
-                # Single-TPU tunnel: measure sharding overhead on a
-                # virtual CPU mesh sized to the request (as conftest.py
-                # does).  Set BENCH_MESH_REAL=1 on a real pod slice to
-                # use the actual devices instead.
+            use_real = env.get("BENCH_MESH_REAL") or nd <= n_real > 1
+            if not use_real:
+                # Not enough real devices (the single-TPU tunnel):
+                # measure sharding overhead on a virtual CPU mesh sized
+                # to the request, as conftest.py does.  Multi-device
+                # hosts (or BENCH_MESH_REAL=1) use the real devices.
+                sys.stderr.write(f"[mesh {nd}: virtual CPU mesh "
+                                 f"({n_real} real devices)]\n")
                 env["JAX_PLATFORMS"] = "cpu"
-                env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
-                                    " --xla_force_host_platform_"
-                                    f"device_count={nd}")
+                flags = [f for f in env.get("XLA_FLAGS", "").split()
+                         if "xla_force_host_platform_device_count"
+                         not in f]
+                flags.append("--xla_force_host_platform_"
+                             f"device_count={nd}")
+                env["XLA_FLAGS"] = " ".join(flags)
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=3600, env=env)
             if r.returncode != 0 or not r.stdout.strip():

@@ -6,8 +6,13 @@ bounce-0 trace vs shadow occlusion vs secondary bounces.  Respects the
 tunnel quirks (CLAUDE.md): forced scalar readbacks for timing, one
 compiled program per process.
 
+`no_occl` configs monkeypatch ops.shade.occluded to an all-lit constant
+(profiling only — isolates the shadow-query cost, since zeroing light
+intensities does NOT skip the occlusion trace).
+
 Usage: python scripts/profile_phases.py            # run the suite
        python scripts/profile_phases.py --one KEY  # internal: one config
+       python scripts/profile_phases.py --keys a,b # subset
 """
 
 from __future__ import annotations
@@ -21,45 +26,69 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+BASE = dict(scene="hw09/scene5", scale=1.0, spp=1, depth=5,
+            intersector="sweep", mode="roulette", occlusion="fast",
+            no_occl=False, chunk=16384)
+
 CONFIGS = {
-    # key: (scene, scale, spp, depth, intersector, bounce_mode, no_lights)
-    "dragon_d5_fast": ("hw09/scene5", 1.0, 1, 5, "fast", "roulette", False),
-    "dragon_d0_fast": ("hw09/scene5", 1.0, 1, 0, "fast", "roulette", False),
-    "dragon_d1_fast": ("hw09/scene5", 1.0, 1, 1, "fast", "roulette", False),
-    "dragon_d1_nolight": ("hw09/scene5", 1.0, 1, 1, "fast", "roulette",
-                          True),
-    "dragon_d5_sweep": ("hw09/scene5", 1.0, 1, 5, "sweep", "roulette",
-                        False),
-    "dragon_d0_sweep": ("hw09/scene5", 1.0, 1, 0, "sweep", "roulette",
-                        False),
-    "hw15_d5_sweep": ("hw15/scene2", 0.5, 4, 5, "sweep", "roulette",
-                      False),
-    "dragon_d5_jnp": ("hw09/scene5", 1.0, 1, 5, "jnp", "roulette", False),
-    "hw15_d5_fast": ("hw15/scene2", 0.5, 4, 5, "fast", "roulette", False),
-    "hw15_d0_fast": ("hw15/scene2", 0.5, 4, 0, "fast", "roulette", False),
-    "hw15_d1_fast": ("hw15/scene2", 0.5, 4, 1, "fast", "roulette", False),
-    "hw15_d5_split": ("hw15/scene2", 0.5, 4, 5, "fast", "split", False),
+    # dragon decomposition (the README.md:53-58 "<100 ms" config)
+    "dragon_d5_sweep": dict(BASE),
+    "dragon_d0_sweep": dict(BASE, depth=0),
+    "dragon_d1_sweep": dict(BASE, depth=1),
+    "dragon_d5_sweep_nooccl": dict(BASE, no_occl=True),
+    "dragon_d0_sweep_c65536": dict(BASE, depth=0, chunk=65536),
+    "dragon_d5_sweep_c65536": dict(BASE, chunk=65536),
+    "dragon_d5_sweep_c131072": dict(BASE, chunk=131072),
+    "dragon_d5_fast": dict(BASE, intersector="fast"),
+    "dragon_d5_fast_nooccl": dict(BASE, intersector="fast", no_occl=True),
+    "dragon_d0_fast": dict(BASE, intersector="fast", depth=0),
+    "dragon_d5_jnp": dict(BASE, intersector="jnp"),
+    # headline scene decomposition (hw15/scene2 at bench config)
+    "hw15_d5_fast": dict(BASE, scene="hw15/scene2", scale=0.5, spp=4,
+                         intersector="fast"),
+    "hw15_d5_sweep": dict(BASE, scene="hw15/scene2", scale=0.5, spp=4),
+    "hw15_d0_fast": dict(BASE, scene="hw15/scene2", scale=0.5, spp=4,
+                         intersector="fast", depth=0),
+    "hw15_d5_fast_nooccl": dict(BASE, scene="hw15/scene2", scale=0.5,
+                                spp=4, intersector="fast", no_occl=True),
+    # refexact decomposition: split tree vs march occlusion, separately
+    "hw15_d5_split": dict(BASE, scene="hw15/scene2", scale=0.5, spp=4,
+                          intersector="fast", mode="split"),
+    "hw15_d5_march": dict(BASE, scene="hw15/scene2", scale=0.5, spp=4,
+                          intersector="fast", occlusion="march"),
+    "hw15_d5_splitmarch": dict(BASE, scene="hw15/scene2", scale=0.5,
+                               spp=4, intersector="fast", mode="split",
+                               occlusion="march"),
 }
 
 
 def run_one(key: str) -> int:
-    scene_rel, scale, spp, depth, intersector, mode, no_lights = CONFIGS[key]
+    c = CONFIGS[key]
     import jax
     import jax.numpy as jnp
     from simd_raytracer_tpu import (RenderConfig, parse_scene_file,
                                     render_frame)
 
-    scene = parse_scene_file(f"/root/reference/scenes/{scene_rel}.crtscene")
-    h = max(8, int(scene.height * scale))
-    w = max(8, int(scene.width * scale))
+    scene = parse_scene_file(
+        f"/root/reference/scenes/{c['scene']}.crtscene")
+    h = max(8, int(scene.height * c["scale"]))
+    w = max(8, int(scene.width * c["scale"]))
     scene = scene.replace(height=h, width=w)
-    if no_lights:
-        scene = scene.replace(
-            light_intensity=jnp.zeros_like(scene.light_intensity))
-    cfg = RenderConfig(samples_per_pixel=spp, max_ray_depth=depth,
-                       intersector=intersector, bounce_mode=mode)
+    if c["no_occl"]:
+        from simd_raytracer_tpu.ops import shade as shade_mod
+
+        def never_occluded(o, d, max_t, *a, **k):
+            return jnp.zeros(o.shape[0], bool)
+
+        shade_mod.occluded = never_occluded
+    cfg = RenderConfig(samples_per_pixel=c["spp"],
+                       max_ray_depth=c["depth"],
+                       intersector=c["intersector"],
+                       bounce_mode=c["mode"],
+                       occlusion_mode=c["occlusion"],
+                       chunk_size=c["chunk"])
     accel = None
-    if intersector == "sweep":
+    if c["intersector"] == "sweep":
         from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
         accel = build_sweep_for_scene(scene)
 
@@ -78,7 +107,7 @@ def run_one(key: str) -> int:
     import numpy as np
     assert np.isfinite(np.asarray(jnp.stack(sums))).all()
     per_frame = (time.perf_counter() - t0) / n_pipe
-    rays = h * w * spp
+    rays = h * w * c["spp"]
     print(json.dumps({
         "key": key, "seconds_per_frame": round(per_frame, 4),
         "rays_per_sec": round(rays / per_frame, 1),

@@ -76,8 +76,11 @@ class RenderConfig:
     # tile covers a compact screen region (tight origin/direction
     # interval boxes -> the sweep kernel's tile-level culling actually
     # fires); "auto" picks tiled for the sweep intersector and linear
-    # otherwise.  The estimator is unchanged; for spp > 1 the jitter
-    # stream assignment differs (same distribution, different values).
+    # otherwise.  The estimator is unchanged, but ALL per-chunk-slot
+    # randomness is reassigned by the order (spp jitter, GI directions,
+    # roulette coins — even at spp=1 when GI/roulette is on): same
+    # distribution, different sample values, so order-sensitive golden
+    # images must pin ray_order explicitly.
     ray_order: str = "auto"
     # Per-bounce lax.cond skips (dead-wavefront early exit, unlit-ray
     # occlusion skip, compaction dispatch).  Identical rendered values

@@ -73,3 +73,28 @@ def train_step(params, skeleton: Scene, cfg: RenderConfig,
         params, skeleton, cfg, ids, target, key, accel)
     params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
     return params, loss
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "lr", "n_steps"),
+                   donate_argnums=(0,))
+def train_steps(params, skeleton: Scene, cfg: RenderConfig,
+                ids, target, key, lr: float = 1e-2, n_steps: int = 8,
+                accel=None):
+    """n_steps SGD steps inside ONE executable -> (params, losses).
+
+    A lax.scan over steps with the param buffers donated: one dispatch
+    and one readback amortize the host round trip across all steps
+    (through the TPU tunnel a per-step readback costs ~25 ms — it
+    dominated single-step training throughput).  Step i draws its
+    estimator randomness from split(key)[i].
+    """
+    keys = jax.random.split(key, n_steps)
+
+    def one(params, k):
+        loss, grads = jax.value_and_grad(pixel_loss)(
+            params, skeleton, cfg, ids, target, k, accel)
+        params = jax.tree_util.tree_map(lambda p, g: p - lr * g,
+                                        params, grads)
+        return params, loss
+
+    return jax.lax.scan(one, params, keys)

@@ -45,7 +45,7 @@ R_TILE = 512
 
 
 def _tile_reach(o, d, tmax, aabb, r_tile: int):
-    """Conservative (tiles, slices) int32 reach matrix.
+    """Conservative (tiles, slices) reach matrix -> (reach i32, t_near f32).
 
     A slice is reachable from a tile unless interval arithmetic over the
     tile's origin box x direction box PROVES no ray can enter the slice
@@ -53,6 +53,12 @@ def _tile_reach(o, d, tmax, aabb, r_tile: int):
     span zero constrain nothing on that axis (their 1/d interval is the
     whole line), so the test degrades gracefully for incoherent tiles —
     it only ever over-approximates, never culls a genuine hit.
+
+    t_near is the per-(tile, slice) LOWER bound on any ray's entry
+    distance into the slice box (0 where unconstrained) — the sort key
+    for the kernel's front-to-back sweep and the proof obligation for
+    its early exit (t_hit >= t_entry >= t_near, so a slice with
+    t_near > best_t for every ray cannot improve any winner).
     """
     p = o.shape[0] // r_tile
     o_t = o.reshape(p, r_tile, 3)
@@ -95,7 +101,28 @@ def _tile_reach(o, d, tmax, aabb, r_tile: int):
     t_near = jnp.maximum(jnp.max(near_lo, axis=2), 0.0)    # (P, S)
     t_far = jnp.min(far_hi, axis=2)
     reach = (t_far >= t_near) & (t_near <= tcap[:, None])
-    return (reach & box_valid[None, :]).astype(jnp.int32)
+    reach &= box_valid[None, :]
+    return reach.astype(jnp.int32), t_near
+
+
+def _tile_schedule(reach, t_near):
+    """Per-tile compacted front-to-back slice schedule.
+
+    From the (P, S) reach mask + entry lower bounds, build
+      count  (P, 1) i32   reachable slices per tile
+      order  (P, S) i32   slice ids, reachable first, ascending t_near
+      tnear  (P, S) f32   t_near in that order (BIG past count)
+    The kernel loops j in [0, count) over order[j] and STOPS at the
+    first j whose tnear strictly exceeds every ray's current best —
+    later slices have even larger entry bounds (sorted), so no skipped
+    slice can contain a winner; ties (==) keep going, preserving the
+    lowest-gid tie-break.
+    """
+    key = jnp.where(reach > 0, t_near, BIG)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    tnear_sorted = jnp.take_along_axis(key, order, axis=1)
+    count = jnp.sum(reach > 0, axis=1, dtype=jnp.int32)[:, None]
+    return count, order, tnear_sorted
 
 
 def _mt_merge(o, d, tri, gid, mask, best_t, best_i, *, eps, cull, any_hit):
@@ -178,33 +205,47 @@ def _kernel(reach_ref, o_ref, d_ref, tmax_ref, tri_ref, ids_ref, mask_ref,
         hit_out[:] = won.astype(jnp.int32)
 
 
-def _kernel_resident(reach_ref, o_ref, d_ref, tmax_ref, tri_ref, ids_ref,
-                     mask_ref, idx_out, hit_out, *, eps: float,
-                     cull: bool, any_hit: bool, n_slices: int):
+def _kernel_resident(count_ref, order_ref, tnear_ref, o_ref, d_ref,
+                     tmax_ref, tri_ref, ids_ref, mask_ref, idx_out,
+                     hit_out, *, eps: float, cull: bool, any_hit: bool):
     """Scene-resident variant: grid = ray tiles ONLY; the whole sliced
     triangle soup lives in VMEM (a reference-scale scene is ~150 KB) and
-    the slice sweep is an in-kernel loop gated per slice by the
-    scalar-prefetched (P, S) reach row in SMEM — a culled slice costs
-    one scalar read + branch, no per-step DMA, no grid-step dispatch."""
+    the slice sweep is an in-kernel while_loop over THIS TILE'S
+    compacted front-to-back schedule (count/order/tnear in SMEM, built
+    by _tile_schedule):
+
+      * culled slices cost zero iterations (they sit past count),
+      * the loop BREAKS once the next slice's conservative entry bound
+        exceeds every ray's current best t — the tile-granular analog
+        of the reference kd traversal's `best_t < box.t_min` prune
+        (kd_tree_simd.hpp:199-205).  With any_hit, decided rays park
+        best_t at -1, so a fully decided tile exits the same way.
+    """
     i = pl.program_id(0)
     o = o_ref[:]                      # (R, 3)
     d = d_ref[:]
     r = o.shape[0]
+    cnt = count_ref[i, 0]
 
-    def slice_step(j, carry):
-        best_t, best_i = carry
+    def cond(carry):
+        j, best_t, _ = carry
+        # clamped read: & does not short-circuit, so j == cnt == S must
+        # still index in bounds (the j < cnt term already kills it)
+        jc = jnp.minimum(j, tnear_ref.shape[1] - 1)
+        return (j < cnt) & (tnear_ref[i, jc] <= jnp.max(best_t))
 
-        def mt(_):
-            return _mt_merge(o, d, tri_ref[j], ids_ref[j], mask_ref[j],
-                             best_t, best_i, eps=eps, cull=cull,
-                             any_hit=any_hit)
+    def body(carry):
+        j, best_t, best_i = carry
+        s = order_ref[i, j]
+        best_t, best_i = _mt_merge(o, d, tri_ref[s], ids_ref[s],
+                                   mask_ref[s], best_t, best_i, eps=eps,
+                                   cull=cull, any_hit=any_hit)
+        return j + 1, best_t, best_i
 
-        return jax.lax.cond(reach_ref[i, j] > 0, mt,
-                            lambda _: (best_t, best_i), 0)
-
-    init = (jnp.broadcast_to(tmax_ref[:], (r, 1)),
+    init = (jnp.int32(0),
+            jnp.broadcast_to(tmax_ref[:], (r, 1)),
             jnp.full((r, 1), IMAX, jnp.int32))
-    best_t, best_i = jax.lax.fori_loop(0, n_slices, slice_step, init)
+    _, best_t, best_i = jax.lax.while_loop(cond, body, init)
     won = best_i != IMAX
     idx_out[:] = jnp.where(won, best_i, 0)
     hit_out[:] = won.astype(jnp.int32)
@@ -218,30 +259,31 @@ RESIDENT_MAX_BYTES = 6 << 20
 @functools.partial(jax.jit,
                    static_argnames=("eps", "cull", "any_hit", "r_tile",
                                     "interpret"))
-def _sweep_call_resident(o, d, tmax, reach, tri_soa, ids, mask, eps: float,
-                         cull: bool, any_hit: bool = False,
-                         r_tile: int = R_TILE, interpret: bool = False):
+def _sweep_call_resident(o, d, tmax, count, order, tnear, tri_soa, ids,
+                         mask, eps: float, cull: bool,
+                         any_hit: bool = False, r_tile: int = R_TILE,
+                         interpret: bool = False):
     r = o.shape[0]
     s = tri_soa.shape[0]
     t = tri_soa.shape[2]
     kern = functools.partial(_kernel_resident, eps=eps, cull=cull,
-                             any_hit=any_hit, n_slices=s)
+                             any_hit=any_hit)
     idx, hit = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=(pl.cdiv(r, r_tile),),
             in_specs=[
-                pl.BlockSpec((r_tile, 3), lambda i, reach: (i, 0)),
-                pl.BlockSpec((r_tile, 3), lambda i, reach: (i, 0)),
-                pl.BlockSpec((r_tile, 1), lambda i, reach: (i, 0)),
-                pl.BlockSpec((s, 9, t), lambda i, reach: (0, 0, 0)),
-                pl.BlockSpec((s, 1, t), lambda i, reach: (0, 0, 0)),
-                pl.BlockSpec((s, 1, t), lambda i, reach: (0, 0, 0)),
+                pl.BlockSpec((r_tile, 3), lambda i, *_: (i, 0)),
+                pl.BlockSpec((r_tile, 3), lambda i, *_: (i, 0)),
+                pl.BlockSpec((r_tile, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((s, 9, t), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((s, 1, t), lambda i, *_: (0, 0, 0)),
+                pl.BlockSpec((s, 1, t), lambda i, *_: (0, 0, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((r_tile, 1), lambda i, reach: (i, 0)),
-                pl.BlockSpec((r_tile, 1), lambda i, reach: (i, 0)),
+                pl.BlockSpec((r_tile, 1), lambda i, *_: (i, 0)),
+                pl.BlockSpec((r_tile, 1), lambda i, *_: (i, 0)),
             ],
         ),
         out_shape=[
@@ -249,7 +291,8 @@ def _sweep_call_resident(o, d, tmax, reach, tri_soa, ids, mask, eps: float,
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(reach, o, d, tmax, tri_soa, ids[:, None, :], mask[:, None, :])
+    )(count, order, tnear, o, d, tmax, tri_soa,
+      ids[:, None, :], mask[:, None, :])
     return idx[:, 0], hit[:, 0]
 
 
@@ -342,17 +385,25 @@ def make_sweep_select(sweep, interpret: Optional[bool] = None,
         if rp != r:
             o32 = jnp.pad(o32, ((0, rp - r), (0, 0)))
             d32 = jnp.pad(d32, ((0, rp - r), (0, 0)), constant_values=1.0)
-        reach = _tile_reach(o32, d32, tm[:, 0], sweep.aabb, r_tile)
+        reach, t_near = _tile_reach(o32, d32, tm[:, 0], sweep.aabb,
+                                    r_tile)
         # Budget everything the resident kernel pins in VMEM: tri_soa
         # (S,9,T) plus ids + mask ((S,T) i32 each -> 11/9 of tri_soa);
         # the ray tiles are small by comparison.
         resident_bytes = (sweep.tri_soa.size * 4 * 11) // 9
         resident = resident_bytes <= RESIDENT_MAX_BYTES
-        call = _sweep_call_resident if resident else _sweep_call
-        idx, hit = call(o32, d32, tm, reach, sweep.tri_soa,
-                        ids, mask, float(eps), bool(cull),
-                        any_hit=bool(any_hit), r_tile=r_tile,
-                        interpret=bool(interp))
+        if resident:
+            count, order, tnear = _tile_schedule(reach, t_near)
+            idx, hit = _sweep_call_resident(
+                o32, d32, tm, count, order, tnear, sweep.tri_soa,
+                ids, mask, float(eps), bool(cull),
+                any_hit=bool(any_hit), r_tile=r_tile,
+                interpret=bool(interp))
+        else:
+            idx, hit = _sweep_call(o32, d32, tm, reach, sweep.tri_soa,
+                                   ids, mask, float(eps), bool(cull),
+                                   any_hit=bool(any_hit), r_tile=r_tile,
+                                   interpret=bool(interp))
         return idx[:r], hit[:r].astype(bool)
 
     return select

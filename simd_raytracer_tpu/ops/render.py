@@ -385,10 +385,14 @@ def _device_ray_chunks(scene: Scene, cfg: RenderConfig, scheduling):
 
     The id layout depends only on (H, W, spp, chunk, order); re-uploading
     the ~8 MB id array through the TPU tunnel every frame measured
-    ~170 ms/frame at 1080p — it dominated the whole dragon render."""
+    ~170 ms/frame at 1080p — it dominated the whole dragon render.  The
+    target device participates in the key so a later render under a
+    different jax.default_device never reuses a buffer committed to the
+    old device."""
+    dev = jax.config.jax_default_device or jax.devices()[0]
     key = (scene.height, scene.width, cfg.samples_per_pixel,
            cfg.chunk_size, resolved_ray_order(cfg), scheduling,
-           jax.default_backend())
+           str(dev))
     ent = _IDS_CACHE.get(key)
     if ent is None:
         ids_np = make_ray_chunks(scene, cfg, scheduling)

@@ -86,33 +86,78 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
                             eps)
         return hit & (t <= max_t)
 
-    # "march": faithful iterative replication.
-    def cond(state):
-        i, _o, _mt, _occ, undecided = state
-        return (i < cfg.max_shadow_march) & jnp.any(undecided)
+    # "march": faithful iterative replication.  One hop is paid at full
+    # wavefront width (every ray needs at least one query); rays still
+    # undecided after it — shadow rays that crossed a transmissive
+    # surface with budget left, typically a few percent — continue in a
+    # COMPACTED while_loop so the remaining hops cost a fraction of a
+    # full select instead of up to max_shadow_march-1 of them.
+    n = o.shape[0]
 
-    def body(state):
-        i, o_cur, mt_cur, occ, undecided = state
-        idx, hit = select(o_cur, d, geom.v0, geom.e1, geom.e2,
+    def march_hop(o_cur, d_cur, mt_cur, undecided):
+        idx, hit = select(o_cur, d_cur, geom.v0, geom.e1, geom.e2,
                           eps, False, geom.tri_valid)
-        t, _, _ = mt_refine(o_cur, d, geom.v0[idx], geom.e1[idx],
+        t, _, _ = mt_refine(o_cur, d_cur, geom.v0[idx], geom.e1[idx],
                             geom.e2[idx], eps)
         transmissive = geom.tri_transmissive[idx]
         within = hit & (t <= mt_cur)
         occ_now = undecided & within & ~transmissive
         cont = undecided & within & transmissive
-        pos = o_cur + t[:, None] * d
+        pos = o_cur + t[:, None] * d_cur
         o_next = jnp.where(cont[:, None],
-                           pos + cfg.shadow_bias * d, o_cur)
+                           pos + cfg.shadow_bias * d_cur, o_cur)
         mt_next = jnp.where(cont, mt_cur - t, mt_cur)
         # Loop guard `while (0 < max_t)` (render.hpp:115).
-        undecided_next = cont & (mt_next > 0.0)
-        return i + 1, o_next, mt_next, occ | occ_now, undecided_next
+        return occ_now, o_next, mt_next, cont & (mt_next > 0.0)
 
-    init = (jnp.int32(0), o, max_t,
-            jnp.zeros(o.shape[0], bool), jnp.ones(o.shape[0], bool))
-    _, _, _, occ, _ = jax.lax.while_loop(cond, body, init)
-    return occ
+    occ, o1, mt1, undecided = march_hop(o, d, max_t,
+                                        jnp.ones(n, bool))
+    if cfg.max_shadow_march <= 1:
+        return occ
+
+    def rest(o_c, d_c, mt_c, und_c):
+        def cond(state):
+            i, _o, _mt, _occ, und = state
+            return (i < cfg.max_shadow_march - 1) & jnp.any(und)
+
+        def body(state):
+            i, o_cur, mt_cur, occ_c, und = state
+            occ_now, o_n, mt_n, und_n = march_hop(o_cur, d_c, mt_cur,
+                                                  und)
+            return i + 1, o_n, mt_n, occ_c | occ_now, und_n
+
+        init = (jnp.int32(0), o_c, mt_c,
+                jnp.zeros(o_c.shape[0], bool), und_c)
+        return jax.lax.while_loop(cond, body, init)[3]
+
+    if not cfg.bounce_skip:
+        return occ | rest(o1, d, mt1, undecided)
+
+    # Tiered narrow continuation (same dispatch pattern + sort-outside-
+    # conds invariant as shade's shadow compaction below).
+    n_und = jnp.sum(undecided)
+    caps = ([c for c in (n // 8, n // 2) if 0 < c < n]
+            if cfg.shadow_compact else []) + [n]
+    order = (jnp.argsort(~undecided, stable=True) if len(caps) > 1
+             else jnp.arange(n))
+
+    def rest_at(cap):
+        if cap == n:
+            return rest(o1, d, mt1, undecided)
+        idx = order[:cap]
+        occ_c = rest(o1[idx], d[idx], mt1[idx], undecided[idx])
+        return jnp.zeros(n, bool).at[idx].set(occ_c)
+
+    def dispatch(tiers):
+        cap = tiers[0]
+        if len(tiers) == 1:
+            return rest_at(cap)
+        return jax.lax.cond(n_und <= cap, lambda: rest_at(cap),
+                            lambda: dispatch(tiers[1:]))
+
+    more = jax.lax.cond(n_und == 0, lambda: jnp.zeros(n, bool),
+                        lambda: dispatch(caps))
+    return occ | more
 
 
 def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,

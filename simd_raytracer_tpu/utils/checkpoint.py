@@ -76,7 +76,17 @@ def render_progressive(
         if str(ck["fingerprint"]) == fp:
             accum = ck["accum"]
             done = int(ck["samples_done"])
-        # mismatched fingerprint: silently start over (stale checkpoint)
+        else:
+            # A long GI render resumed under a different scene/config
+            # would silently throw away hours — say so loudly.
+            import warnings
+            warnings.warn(
+                f"checkpoint {checkpoint_path!r} was written for a "
+                f"different scene/config (fingerprint "
+                f"{str(ck['fingerprint'])[:8]}... != {fp[:8]}...); "
+                f"restarting from scratch ("
+                f"{int(ck['samples_done'])} samples discarded)",
+                stacklevel=2)
 
     batch_cfg = RenderConfig(**{
         **{f.name: getattr(cfg, f.name)

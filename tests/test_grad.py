@@ -139,3 +139,34 @@ def test_train_step_reduces_loss():
         p, loss = train_step(p, skeleton, cfg, ids, target, key, lr=2e-3)
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_train_steps_matches_unrolled_single_steps():
+    # The pipelined scan (one executable, donated params) must walk the
+    # exact same optimization trajectory as n composed single steps fed
+    # the same per-step keys.
+    from simd_raytracer_tpu.ops.grad import train_steps
+
+    params, skeleton, cfg, ids, key = setup()
+    bright = dict(params)
+    bright["mat_albedo"] = params["mat_albedo"] * 0.5
+    from simd_raytracer_tpu.ops.grad import render_ids
+    target = render_ids(merge_params(bright, skeleton), cfg, ids, key)
+
+    n_steps = 3
+    keys = jax.random.split(key, n_steps)
+    p_ref = params
+    ref_losses = []
+    for i in range(n_steps):
+        p_ref, loss = train_step(p_ref, skeleton, cfg, ids, target,
+                                 keys[i], lr=2e-3)
+        ref_losses.append(float(loss))
+
+    p0 = jax.tree_util.tree_map(jnp.array, params)   # donation-safe copy
+    p_scan, losses = train_steps(p0, skeleton, cfg, ids, target, key,
+                                 lr=2e-3, n_steps=n_steps)
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-6)
+    for k in p_ref:
+        np.testing.assert_allclose(np.asarray(p_scan[k]),
+                                   np.asarray(p_ref[k]), rtol=1e-6,
+                                   atol=1e-12)

@@ -94,3 +94,11 @@ def test_progressive_checkpoint_resume(tmp_path):
     resumed = render_progressive(scene, cfg, total_spp=4, spp_per_batch=2,
                                  checkpoint_path=ck)
     np.testing.assert_allclose(resumed, full, rtol=0, atol=1e-7)
+
+    # run 3: a config change invalidates the fingerprint — the restart
+    # must WARN instead of silently discarding the buffer.
+    other = RenderConfig(chunk_size=256, max_ray_depth=1,
+                         samples_per_pixel=1)
+    with pytest.warns(UserWarning, match="different scene/config"):
+        render_progressive(scene, other, total_spp=2, spp_per_batch=2,
+                           checkpoint_path=ck)
