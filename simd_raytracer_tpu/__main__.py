@@ -39,6 +39,13 @@ def main(argv=None) -> int:
                     help="shadow query: march replicates the reference's "
                          "re-origined loop (render.hpp:110-131); fast is "
                          "one transmissive-aware closest-hit query")
+    ap.add_argument("--ray-order", default="auto",
+                    choices=["auto", "linear", "tiled"],
+                    help="ray-id traversal order: tiled walks 32x32 "
+                         "screen blocks (tight sweep-kernel tile boxes); "
+                         "auto picks tiled for --intersector sweep.  "
+                         "Reassigns all per-slot randomness (jitter, GI, "
+                         "roulette): same estimator, different samples")
     ap.add_argument("--scheduling", default="linear",
                     choices=["linear", "single", "region", "bucket"],
                     help="tile order (reference tile/*.hpp; linear is the "
@@ -64,7 +71,7 @@ def main(argv=None) -> int:
         diffuse_reflection_ray_count=args.gi_rays, fov_degrees=args.fov,
         rng_seed=args.seed, chunk_size=args.chunk,
         intersector=args.intersector, bounce_mode=args.bounce_mode,
-        occlusion_mode=args.occlusion)
+        occlusion_mode=args.occlusion, ray_order=args.ray_order)
 
     import jax
 

@@ -177,12 +177,17 @@ def _mt_merge(o, d, tri, gid, mask, best_t, best_i, *, eps, cull, any_hit):
     return new_t, new_i
 
 
-def _kernel(reach_ref, o_ref, d_ref, tmax_ref, tri_ref, ids_ref, mask_ref,
-            idx_out, hit_out, best_t, best_i, *, eps: float, cull: bool,
-            any_hit: bool):
-    """Streaming variant: grid = (ray tiles, slices); one slice's packet
-    in VMEM per step, running winners in scratch across the slice dim.
-    reach_ref is the full (P, S) scalar-prefetch matrix in SMEM."""
+def _kernel(count_ref, order_ref, tnear_ref, o_ref, d_ref, tmax_ref,
+            tri_ref, ids_ref, mask_ref, idx_out, hit_out, best_t, best_i,
+            *, eps: float, cull: bool, any_hit: bool):
+    """Streaming variant: grid = (ray tiles, slice STEPS); step j DMAs
+    the j-th slice of THIS TILE'S front-to-back schedule (the tri/ids/
+    mask index_maps read order_ref — scalar-prefetch dynamic block
+    indexing), running winners in scratch across the step dim.  Steps
+    past count, or whose slice's conservative entry bound already
+    exceeds every ray's best t, skip the packet test; unlike the
+    resident variant the grid itself cannot stop early, so a pruned
+    step still costs its (tiny, ~9 KB) slice DMA but no compute."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     ns = pl.num_programs(1)
@@ -192,7 +197,8 @@ def _kernel(reach_ref, o_ref, d_ref, tmax_ref, tri_ref, ids_ref, mask_ref,
         best_t[:] = tmax_ref[:]
         best_i[:] = jnp.full_like(best_i, IMAX)
 
-    @pl.when(reach_ref[i, j] > 0)
+    @pl.when((j < count_ref[i, 0])
+             & (tnear_ref[i, j] <= jnp.max(best_t[:])))
     def _():
         best_t[:], best_i[:] = _mt_merge(
             o_ref[:], d_ref[:], tri_ref[0], ids_ref[0], mask_ref[0],
@@ -299,47 +305,52 @@ def _sweep_call_resident(o, d, tmax, count, order, tnear, tri_soa, ids,
 @functools.partial(jax.jit,
                    static_argnames=("eps", "cull", "any_hit", "r_tile",
                                     "interpret"))
-def _sweep_call(o, d, tmax, reach, tri_soa, ids, mask, eps: float,
-                cull: bool, any_hit: bool = False, r_tile: int = R_TILE,
-                interpret: bool = False):
+def _sweep_call(o, d, tmax, count, order, tnear, tri_soa, ids, mask,
+                eps: float, cull: bool, any_hit: bool = False,
+                r_tile: int = R_TILE, interpret: bool = False):
     R_TILE = r_tile
     r = o.shape[0]
     s = tri_soa.shape[0]
     t = tri_soa.shape[2]
     grid = (pl.cdiv(r, R_TILE), s)
     kern = functools.partial(_kernel, eps=eps, cull=cull, any_hit=any_hit)
+
+    def slice_at(i, j, count, order, tnear):
+        return (order[i, j], 0, 0)
+
     idx, hit = pl.pallas_call(
         kern,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((R_TILE, 3), lambda i, j, reach: (i, 0)),
-                pl.BlockSpec((R_TILE, 3), lambda i, j, reach: (i, 0)),
-                pl.BlockSpec((R_TILE, 1), lambda i, j, reach: (i, 0)),
+                pl.BlockSpec((R_TILE, 3), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((R_TILE, 3), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((R_TILE, 1), lambda i, j, *_: (i, 0)),
                 # 3-D (S, 1, x) layouts: Mosaic wants the last two block
                 # dims divisible by (8, 128) or equal to the array dims;
                 # (1, x) blocks of a 2-D (S, x) array violate the
                 # sublane rule.
-                pl.BlockSpec((1, 9, t), lambda i, j, reach: (j, 0, 0)),
-                pl.BlockSpec((1, 1, t), lambda i, j, reach: (j, 0, 0)),
-                pl.BlockSpec((1, 1, t), lambda i, j, reach: (j, 0, 0)),
+                pl.BlockSpec((1, 9, t), slice_at),
+                pl.BlockSpec((1, 1, t), slice_at),
+                pl.BlockSpec((1, 1, t), slice_at),
             ],
             out_specs=[
-                pl.BlockSpec((R_TILE, 1), lambda i, j, reach: (i, 0)),
-                pl.BlockSpec((R_TILE, 1), lambda i, j, reach: (i, 0)),
+                pl.BlockSpec((R_TILE, 1), lambda i, j, *_: (i, 0)),
+                pl.BlockSpec((R_TILE, 1), lambda i, j, *_: (i, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((R_TILE, 1), jnp.float32),
+                pltpu.VMEM((R_TILE, 1), jnp.int32),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
             jax.ShapeDtypeStruct((r, 1), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((R_TILE, 1), jnp.float32),
-            pltpu.VMEM((R_TILE, 1), jnp.int32),
-        ],
         interpret=interpret,
-    )(reach, o, d, tmax, tri_soa, ids[:, None, :], mask[:, None, :])
+    )(count, order, tnear, o, d, tmax, tri_soa,
+      ids[:, None, :], mask[:, None, :])
     return idx[:, 0], hit[:, 0]
 
 
@@ -392,18 +403,12 @@ def make_sweep_select(sweep, interpret: Optional[bool] = None,
         # the ray tiles are small by comparison.
         resident_bytes = (sweep.tri_soa.size * 4 * 11) // 9
         resident = resident_bytes <= RESIDENT_MAX_BYTES
-        if resident:
-            count, order, tnear = _tile_schedule(reach, t_near)
-            idx, hit = _sweep_call_resident(
-                o32, d32, tm, count, order, tnear, sweep.tri_soa,
-                ids, mask, float(eps), bool(cull),
-                any_hit=bool(any_hit), r_tile=r_tile,
-                interpret=bool(interp))
-        else:
-            idx, hit = _sweep_call(o32, d32, tm, reach, sweep.tri_soa,
-                                   ids, mask, float(eps), bool(cull),
-                                   any_hit=bool(any_hit), r_tile=r_tile,
-                                   interpret=bool(interp))
+        count, order, tnear = _tile_schedule(reach, t_near)
+        call = _sweep_call_resident if resident else _sweep_call
+        idx, hit = call(o32, d32, tm, count, order, tnear, sweep.tri_soa,
+                        ids, mask, float(eps), bool(cull),
+                        any_hit=bool(any_hit), r_tile=r_tile,
+                        interpret=bool(interp))
         return idx[:r], hit[:r].astype(bool)
 
     return select

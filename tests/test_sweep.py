@@ -98,6 +98,32 @@ def test_sweep_tmax_window_and_any_hit():
         assert (np.asarray(sh_a) == np.asarray(sh_c)).all()
 
 
+def test_sweep_streaming_path_matches_brute_force(monkeypatch):
+    """The non-resident (streaming) kernel — slice blocks DMA'd per grid
+    step through the scalar-prefetched front-to-back schedule — must
+    produce the same winners as brute force, including t_max/any_hit."""
+    import simd_raytracer_tpu.ops.intersect_sweep as isw
+    monkeypatch.setattr(isw, "RESIDENT_MAX_BYTES", 0)
+    scene = parse_scene_file(str(SCENES / "hw11/scene8.crtscene"))
+    geom = derive_geometry(scene)
+    sel = make_sweep_select(build_sweep_for_scene(scene))
+    o, d = _rand_rays(scene, 512, seed=11)
+    bi, bh = mt_select(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                       geom.tri_valid)
+    si, sh = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                 geom.tri_valid)
+    assert (np.asarray(bh) == np.asarray(sh)).all()
+    hb = np.asarray(bh)
+    assert (np.asarray(bi)[hb] == np.asarray(si)[hb]).all()
+    # any-hit predicate with a finite window agrees with closest-hit
+    tm = jnp.full(512, 1e9)
+    _, sh_c = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                  geom.tri_valid, t_max=tm)
+    _, sh_a = sel(o, d, geom.v0, geom.e1, geom.e2, 1e-6, False,
+                  geom.tri_valid, t_max=tm, any_hit=True)
+    assert (np.asarray(sh_a) == np.asarray(sh_c)).all()
+
+
 def test_sweep_render_equals_brute_force():
     scene = parse_scene_file(str(SCENES / "hw15/scene2.crtscene")).replace(
         height=18, width=24)
