@@ -284,6 +284,11 @@ def main() -> int:
     if args.mesh:
         # one subprocess per mesh size; aggregate efficiency here
         import jax
+        if os.environ.get("JAX_PLATFORMS") == "cpu":
+            # honor an explicit CPU request in the parent too (the axon
+            # sitecustomize latches the TPU platform, quirk #3) — also
+            # keeps the device probe off a wedged tunnel
+            jax.config.update("jax_platforms", "cpu")
         n_real = len(jax.devices())
         sizes = [s for s in (1, 2, 4, 8) if s <= args.mesh]
         rows = {}

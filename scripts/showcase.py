@@ -2,6 +2,7 @@
 
 Targets mirror the reference's published artifacts (README.md:46-65):
   gi128      hw15/scene2 1920x1920, 128 spp, depth 5, 1 GI ray
+  gi128d10   hw15/scene2 1920x1920, 128 spp, depth 10, 1 GI ray
   gi512      hw15/scene2 1920x1920, 512 spp, depth 5, 1 GI ray
   dragon     hw09/scene5 1920x1080 spp1 (the "<100 ms" headline frame)
   refractive hw11/scene8 1920x1080 spp1, reference-exact split+march
@@ -35,25 +36,25 @@ def _save_png(img, path):
     Image.fromarray(q).save(path)
 
 
-def run_gi(spp: int) -> None:
+def run_gi(spp: int, depth: int = 5) -> None:
     import jax
     from simd_raytracer_tpu import RenderConfig, parse_scene_file
     from simd_raytracer_tpu.utils.checkpoint import render_progressive
 
     scene = parse_scene_file(f"{SCENES}/hw15/scene2.crtscene")
-    cfg = RenderConfig(samples_per_pixel=spp, max_ray_depth=5,
+    cfg = RenderConfig(samples_per_pixel=spp, max_ray_depth=depth,
                        diffuse_reflection_ray_count=1,
                        intersector="fast", bounce_mode="roulette")
     t0 = time.time()
     img = render_progressive(
         scene, cfg, total_spp=spp, spp_per_batch=8,
-        checkpoint_path=os.path.join(OUT, f"gi_{spp}spp.ckpt.npz"),
+        checkpoint_path=os.path.join(OUT, f"gi_{spp}spp_{depth}.ckpt.npz"),
         on_batch=lambda done, _: print(f"  {done}/{spp} spp "
                                        f"({time.time()-t0:.0f}s)",
                                        flush=True))
-    path = os.path.join(OUT, f"gi_{spp}spp_5_1.png")
+    path = os.path.join(OUT, f"gi_{spp}spp_{depth}_1.png")
     _save_png(img, path)
-    print(json.dumps({"target": f"gi{spp}", "path": path,
+    print(json.dumps({"target": f"gi{spp}_d{depth}", "path": path,
                       "seconds": round(time.time() - t0, 1),
                       "h": scene.height, "w": scene.width}))
 
@@ -107,6 +108,7 @@ def run_orbit() -> None:
 
 TARGETS = {
     "gi128": lambda: run_gi(128),
+    "gi128d10": lambda: run_gi(128, depth=10),
     "gi512": lambda: run_gi(512),
     "dragon": lambda: run_still("hw09/scene5", "dragon_1080p", False),
     "refractive": lambda: run_still("hw11/scene8", "refractive_dragon",

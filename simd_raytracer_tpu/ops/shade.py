@@ -183,6 +183,12 @@ def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
     cos_law = jnp.maximum(0.0, _dot(ldir, shade_n[:, None, :]))       # (N,L)
 
     shadow_o = hit.position[:, None, :] + cfg.shadow_bias * ldir
+    # A (ray, light) pair with cos_law == 0 contributes nothing whatever
+    # the visibility says, so its shadow query gets a zero-length window:
+    # the march loop exits immediately (t <= 0 never holds) and — when
+    # whole screen tiles face away from a light — the sweep kernel's
+    # per-tile t_max cap culls every slice for them.  Values unchanged.
+    max_t = jnp.where(cos_law > 0.0, r, 0.0)
     # Light-major batching: (N, L) -> (L, N) so consecutive shadow rays
     # share one light (coherent directions from a coherent hit patch);
     # ray-major interleaving would mix L different lights inside every
@@ -190,7 +196,7 @@ def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
     # layout change — per-ray occlusion results are order-independent.
     occ = occluded(shadow_o.transpose(1, 0, 2).reshape(-1, 3),
                    ldir.transpose(1, 0, 2).reshape(-1, 3),
-                   r.T.reshape(-1), scene, geom, cfg, accel
+                   max_t.T.reshape(-1), scene, geom, cfg, accel
                    ).reshape(nl, n_rays).T
 
     falloff = scene.light_intensity[None, :] / jnp.maximum(area, 1e-20)
