@@ -261,7 +261,7 @@ def main() -> int:
                     help="resolution scale on the scene's native HxW")
     ap.add_argument("--chunk", type=int, default=16384)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--intersector", default="fast",
+    ap.add_argument("--intersector", default="sweep",
                     choices=["jnp", "fast", "pallas", "mxu", "kdtree",
                              "sweep"])
     ap.add_argument("--bounce-mode", default="roulette",
