@@ -1,4 +1,4 @@
-"""Benchmark driver: prints ONE JSON line with the headline metric.
+"""Benchmark driver: prints the headline metric as ONE JSON line.
 
 Headline metric: primary rays/sec/chip on scenes/hw15/scene2.crtscene
 (the BASELINE.md target scene) at the default shading config.  The
@@ -10,13 +10,30 @@ The default run measures four phases, EACH IN ITS OWN SUBPROCESS (the
 tunneled TPU backend errors when an executable re-executes after a
 different executable ran in the same process — CLAUDE.md quirk #2):
 
-  headline   hw15/scene2 960x960 spp4, roulette + fast select
-  refexact   the same frame with reference-exact semantics
-             (bounce_mode=split, occlusion=march) — the estimator the
-             C++ reference actually runs (render.hpp:278-301, :110-131)
+  headline   hw15/scene2 960x960 spp4, roulette + sweep select
   dragon     hw09/scene5 at native 1920x1080 spp1 (the README.md:53-58
              "<100 ms" headline config), sweep intersector
+  refexact   the headline frame with reference-exact semantics
+             (bounce_mode=split, occlusion=march) — the estimator the
+             C++ reference actually runs (render.hpp:278-301, :110-131)
   backward   fwd+bwd gradient step throughput (inverse rendering)
+  northstar  (only if budget remains) 128-spp GI fwd+bwd + FD check
+
+Robustness against the driver's clock (the round-4 failure mode was a
+parent-level timeout that erased every completed phase):
+
+  * a persistent XLA compilation cache lives in .jax_cache/ next to this
+    file, so any config that has EVER compiled on this machine skips its
+    multi-minute fresh compile (CLAUDE.md quirk #4/#7);
+  * the headline phase runs FIRST and its metric line is printed (and
+    snapshotted to BENCH_partial.json) the moment it exists — later
+    phases only ever append detail by reprinting the line;
+  * a global wall-clock budget (BENCH_BUDGET_S, default 1500 s) gates
+    every phase launch; a phase that overruns the remaining budget is
+    ABANDONED, not killed (killing a TPU client mid-compile wedges the
+    tunnel for 10-30 min, quirk #7), and no further phase launches;
+  * SIGTERM/SIGINT print the current result line before exiting, so
+    even a signalled run leaves a parseable stdout.
 
 Timings force completion with a scalar readback (quirk #1: on this
 tunnel, block_until_ready can return early).
@@ -31,11 +48,22 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
 
 BASELINE = 21e6  # BASELINE.md derived reference anchor (primary rays/s)
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+CACHE_DIR = os.path.join(_HERE, ".jax_cache")
+PARTIAL_PATH = os.path.join(_HERE, "BENCH_partial.json")
+
+# Exported before any child (or this process's own sitecustomize-started
+# jax) compiles: every phase subprocess inherits the persistent cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 
 def _force(x):
@@ -252,6 +280,49 @@ PHASES = {
 }
 
 
+# ------------------------------------------------------- result plumbing
+
+def _probe_devices():
+    """Device count + backend WITHOUT holding a client in this process.
+
+    The parent must never own the TPU while a child needs it (libtpu's
+    per-process exclusivity: a child init against held devices hangs and
+    a hung child wedges the tunnel, quirk #7) — probe in a throwaway
+    subprocess instead."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); "
+             "print(len(d), jax.default_backend(), str(d[0]))"],
+            capture_output=True, text=True, timeout=180)
+        n, backend, dev = r.stdout.strip().splitlines()[-1].split(None, 2)
+        return int(n), backend, dev
+    except Exception:
+        return 1, "unknown", "unknown"
+
+
+def _result_line(headline, detail):
+    value = headline["rays_per_sec"] if headline else 0
+    return {"metric": "primary_rays_per_sec_hw15s2", "value": value,
+            "unit": "rays/s", "vs_baseline": round(value / BASELINE, 3),
+            "detail": detail}
+
+
+def _emit(result):
+    """Print the metric line NOW and snapshot it to BENCH_partial.json.
+
+    Called after every completed phase: a later phase timing out (or the
+    driver signalling the parent) can never erase an earlier phase's
+    number — the last complete line on stdout always parses."""
+    line = json.dumps(result)
+    print(line, flush=True)
+    try:
+        with open(PARTIAL_PATH, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene",
@@ -272,9 +343,13 @@ def main() -> int:
                     help="run the sharded scaling harness up to N devices")
     ap.add_argument("--northstar", action="store_true",
                     help="run the 128-spp GI fwd+bwd + FD check phase")
+    ap.add_argument("--budget", type=float,
+                    default=float(os.environ.get("BENCH_BUDGET_S", 1500)),
+                    help="global wall-clock budget in seconds")
     ap.add_argument("--_phase", default=None, choices=list(PHASES),
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
+    deadline = time.time() + args.budget
 
     if args._phase is not None:
         out = PHASES[args._phase](args)
@@ -283,13 +358,7 @@ def main() -> int:
 
     if args.mesh:
         # one subprocess per mesh size; aggregate efficiency here
-        import jax
-        if os.environ.get("JAX_PLATFORMS") == "cpu":
-            # honor an explicit CPU request in the parent too (the axon
-            # sitecustomize latches the TPU platform, quirk #3) — also
-            # keeps the device probe off a wedged tunnel
-            jax.config.update("jax_platforms", "cpu")
-        n_real = len(jax.devices())
+        n_real, backend, _ = _probe_devices()
         sizes = [s for s in (1, 2, 4, 8) if s <= args.mesh]
         rows = {}
         for nd in sizes:
@@ -344,7 +413,11 @@ def main() -> int:
     elif args.quick:
         phases = ["headline", "backward"]
     else:
-        phases = ["backward", "headline", "refexact", "dragon"]
+        # Headline FIRST: its number is the gated metric; everything
+        # after only enriches detail.  northstar runs last, only with
+        # spare budget (it is the heaviest compile).
+        phases = ["headline", "dragon", "refexact", "backward",
+                  "northstar"]
 
     base = [sys.executable, os.path.abspath(__file__),
             "--scene", args.scene, "--spp", str(args.spp),
@@ -353,39 +426,66 @@ def main() -> int:
             "--intersector", args.intersector,
             "--bounce-mode", args.bounce_mode,
             "--mesh", str(args.mesh)]
-    detail = {}
+    detail = {"phases_done": []}
     headline = None
+    abandoned = False
+    state = {"result": _result_line(None, detail)}
+
+    def _on_signal(signum, frame):
+        # The driver's timeout signals the parent only (children are in
+        # their own process groups from its point of view): flush the
+        # best-known line and exit cleanly so stdout stays parseable.
+        sys.stderr.write(f"[signal {signum}: emitting partial result]\n")
+        _emit(state["result"])
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     for ph in phases:
-        r = subprocess.run(base + ["--_phase", ph], capture_output=True,
-                           text=True, timeout=3600)
-        if r.returncode != 0 or not r.stdout.strip():
-            sys.stderr.write(f"[phase {ph} failed]\n" + r.stderr[-2000:]
+        remaining = deadline - time.time()
+        floor = 300 if ph == "northstar" else 45
+        if remaining < floor:
+            sys.stderr.write(f"[phase {ph} skipped: {remaining:.0f}s "
+                             "of budget left]\n")
+            continue
+        proc = subprocess.Popen(base + ["--_phase", ph],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True)
+        try:
+            stdout, stderr = proc.communicate(timeout=remaining)
+        except subprocess.TimeoutExpired:
+            # NEVER kill a TPU process mid-compile/execute — it wedges
+            # the tunnel for every later program (quirk #7).  Abandon
+            # the child (it finishes on its own) and stop launching:
+            # the orphan still owns the chip.
+            sys.stderr.write(f"[phase {ph} over budget: abandoned "
+                             "un-killed; emitting what we have]\n")
+            abandoned = True
+            break
+        if proc.returncode != 0 or not stdout.strip():
+            sys.stderr.write(f"[phase {ph} failed]\n" + stderr[-2000:]
                              + "\n")
             continue
-        out = json.loads(r.stdout.strip().splitlines()[-1])
+        out = json.loads(stdout.strip().splitlines()[-1])
         if ph == "headline":
             headline = out
         detail.update(out)
+        detail["phases_done"].append(ph)
+        state["result"] = _result_line(headline, detail)
+        _emit(state["result"])
 
-    if headline is None and phases != ["mesh"] and "mesh" not in detail:
-        # headline failed — still emit whatever we have
-        print(json.dumps({"metric": "primary_rays_per_sec_hw15s2",
-                          "value": 0, "unit": "rays/s",
-                          "vs_baseline": 0, "detail": detail}))
+    if headline is None:
+        _emit(state["result"])
         return 1
-
-    import jax
-    detail["device"] = str(jax.devices()[0])
     detail["scene"] = args.scene
-    value = headline["rays_per_sec"] if headline else 0
-    result = {
-        "metric": "primary_rays_per_sec_hw15s2",
-        "value": value,
-        "unit": "rays/s",
-        "vs_baseline": round(value / BASELINE, 3),
-        "detail": detail,
-    }
-    print(json.dumps(result))
+    if not abandoned:
+        # Device string via probe (the parent itself never opens the
+        # TPU); skipped when an abandoned child still owns the tunnel —
+        # a probe hanging against it would have to be killed (quirk #7).
+        _, _, dev = _probe_devices()
+        detail["device"] = dev
+    _emit(_result_line(headline, detail))
     return 0
 
 

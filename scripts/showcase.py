@@ -45,10 +45,14 @@ def run_gi(spp: int, depth: int = 5) -> None:
     cfg = RenderConfig(samples_per_pixel=spp, max_ray_depth=depth,
                        diffuse_reflection_ray_count=1,
                        intersector="fast", bounce_mode="roulette")
+    ckpt = os.path.join(OUT, f"gi_{spp}spp_{depth}.ckpt.npz")
+    legacy = os.path.join(OUT, f"gi_{spp}spp.ckpt.npz")   # pre-r4 name
+    if depth == 5 and not os.path.exists(ckpt) and os.path.exists(legacy):
+        ckpt = legacy   # resume an old in-progress render, don't restart
     t0 = time.time()
     img = render_progressive(
         scene, cfg, total_spp=spp, spp_per_batch=8,
-        checkpoint_path=os.path.join(OUT, f"gi_{spp}spp_{depth}.ckpt.npz"),
+        checkpoint_path=ckpt,
         on_batch=lambda done, _: print(f"  {done}/{spp} spp "
                                        f"({time.time()-t0:.0f}s)",
                                        flush=True))

@@ -118,7 +118,10 @@ def _tile_schedule(reach, t_near):
     slice can contain a winner; ties (==) keep going, preserving the
     lowest-gid tie-break.
     """
-    key = jnp.where(reach > 0, t_near, BIG)
+    # inf sentinel, NOT BIG: a reachable slice can legitimately carry
+    # t_near == BIG (tcap == BIG with a saturated 1/d interval) and must
+    # sort strictly before every unreachable entry.
+    key = jnp.where(reach > 0, t_near, jnp.inf)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
     tnear_sorted = jnp.take_along_axis(key, order, axis=1)
     count = jnp.sum(reach > 0, axis=1, dtype=jnp.int32)[:, None]
@@ -389,10 +392,13 @@ def make_sweep_select(sweep, interpret: Optional[bool] = None,
         o32 = o.astype(jnp.float32)
         d32 = d.astype(jnp.float32)
         if t_max is None:
-            tm = jnp.full((rp, 1), BIG, jnp.float32)
+            tm = jnp.full((r, 1), BIG, jnp.float32)
         else:
-            tm = jnp.pad(t_max.astype(jnp.float32).reshape(-1, 1),
-                         ((0, rp - r), (0, 0)))
+            tm = t_max.astype(jnp.float32).reshape(-1, 1)
+        # Padded rays get t_max = 0 (not BIG): they seed best_t at 0, so
+        # they can never dominate jnp.max(best_t) and block the final
+        # partial tile's front-to-back early exit.
+        tm = jnp.pad(tm, ((0, rp - r), (0, 0)))
         if rp != r:
             o32 = jnp.pad(o32, ((0, rp - r), (0, 0)))
             d32 = jnp.pad(d32, ((0, rp - r), (0, 0)), constant_values=1.0)
