@@ -28,6 +28,8 @@ PEAK_F32 = PEAK_BF16 / 4
 
 def run_one(backend: str) -> int:
     import jax
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()
     import jax.numpy as jnp
     from simd_raytracer_tpu import parse_scene_file
     from simd_raytracer_tpu.models.scene import derive_geometry

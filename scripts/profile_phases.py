@@ -59,12 +59,22 @@ CONFIGS = {
     "hw15_d5_splitmarch": dict(BASE, scene="hw15/scene2", scale=0.5,
                                spp=4, intersector="fast", mode="split",
                                occlusion="march"),
+    # r5: the march probe (any-hit solid/glass pre-pass) makes sweep a
+    # refexact candidate too, and march ~ fast on glassless scenes.
+    "hw15_d5_splitmarch_sweep": dict(BASE, scene="hw15/scene2",
+                                     scale=0.5, spp=4, mode="split",
+                                     occlusion="march"),
+    "hw15_d5_march_sweep": dict(BASE, scene="hw15/scene2", scale=0.5,
+                                spp=4, occlusion="march"),
+    "dragon_d5_march_sweep": dict(BASE, occlusion="march"),
 }
 
 
 def run_one(key: str) -> int:
     c = CONFIGS[key]
     import jax
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()
     import jax.numpy as jnp
     from simd_raytracer_tpu import (RenderConfig, parse_scene_file,
                                     render_frame)

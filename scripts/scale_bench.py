@@ -71,6 +71,8 @@ def make_terrain_scene(g: int, height=512, width=512):
 def run_one(key: str) -> int:
     g, intersector, depth = CONFIGS[key]
     import jax
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()
     import jax.numpy as jnp
     from simd_raytracer_tpu import RenderConfig, render_frame
 

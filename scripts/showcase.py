@@ -38,6 +38,8 @@ def _save_png(img, path):
 
 def run_gi(spp: int, depth: int = 5) -> None:
     import jax
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()
     from simd_raytracer_tpu import RenderConfig, parse_scene_file
     from simd_raytracer_tpu.utils.checkpoint import render_progressive
 
@@ -64,6 +66,8 @@ def run_gi(spp: int, depth: int = 5) -> None:
 
 
 def run_still(scene_rel: str, name: str, exact: bool) -> None:
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()
     from simd_raytracer_tpu import RenderConfig, parse_scene_file, \
         render_frame
     from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
@@ -87,6 +91,8 @@ def run_still(scene_rel: str, name: str, exact: bool) -> None:
 def run_orbit() -> None:
     import numpy as np
     from PIL import Image
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()
     from simd_raytracer_tpu import RenderConfig, parse_scene_file
     from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
     from simd_raytracer_tpu.utils.animation import (orbit_path,

@@ -26,12 +26,21 @@ CONFIGS = {
     "dragon_d0_s128_r512": ("hw09/scene5", 1.0, 1, 0, 128, 512),
     "hw15_s256_r512": ("hw15/scene2", 0.5, 4, 5, 256, 512),
     "hw15_s128_r512": ("hw15/scene2", 0.5, 4, 5, 128, 512),
+    # r5 scan: smaller slices/tiles after the front-to-back schedule
+    # rework (tighter AABBs cull more; schedule makes culled slices free)
+    "dragon_s128_r256": ("hw09/scene5", 1.0, 1, 5, 128, 256),
+    "dragon_s64_r512": ("hw09/scene5", 1.0, 1, 5, 64, 512),
+    "dragon_s64_r256": ("hw09/scene5", 1.0, 1, 5, 64, 256),
+    "hw15_s128_r256": ("hw15/scene2", 0.5, 4, 5, 128, 256),
+    "hw15_s64_r512": ("hw15/scene2", 0.5, 4, 5, 64, 512),
 }
 
 
 def run_one(key: str) -> int:
     scene_rel, scale, spp, depth, slice_size, r_tile = CONFIGS[key]
     import jax
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()
     import jax.numpy as jnp
     from simd_raytracer_tpu import (RenderConfig, parse_scene_file,
                                     render_frame)

@@ -59,6 +59,8 @@ def main(argv=None) -> int:
                     help="print per-phase timings (load/build/compile/render)")
     args = ap.parse_args(argv)
 
+    from simd_raytracer_tpu.utils.compile_cache import enable as _cc
+    _cc()   # persistent XLA cache: re-renders of a config skip compiles
     from simd_raytracer_tpu import (RenderConfig, parse_scene_file,
                                     render_frame, save_ppm)
 

@@ -85,11 +85,19 @@ def mt_select(
     eps: float,
     cull: bool,
     tri_mask: Optional[jnp.ndarray] = None,   # (T,) bool, False = skip
+    t_max: Optional[jnp.ndarray] = None,      # (R,) inclusive t window
+    any_hit: bool = False,
 ):
     """All-pairs Moller-Trumbore; returns (best_idx (R,) i32, hit (R,) bool).
 
     Misses get t = BIG before the min-reduce, like the
     `where(!mask, t) = best_t` lane masking at kd_tree_simd.hpp:276-287.
+
+    t_max (optional, per ray) accepts only pairs with t <= t_max —
+    inclusive, matching the reference's `t <= max_t` (render.hpp:121).
+    any_hit=True returns (zeros, any-accepted-pair) without the
+    argmin/min reduces: the occlusion predicate (render.hpp:110-131)
+    needs no winner, so the reduction is a single `any`.
     """
     t, ok = mt_pairs(
         (o[:, 0:1], o[:, 1:2], o[:, 2:3]),                       # (R, 1)
@@ -101,6 +109,10 @@ def mt_select(
 
     if tri_mask is not None:
         ok &= tri_mask[None, :]
+    if t_max is not None:
+        ok &= t <= t_max[:, None]
+    if any_hit:
+        return (jnp.zeros(o.shape[0], jnp.int32), jnp.any(ok, axis=1))
 
     t_masked = jnp.where(ok, t, BIG)
     best_idx = jnp.argmin(t_masked, axis=1).astype(jnp.int32)
@@ -186,9 +198,20 @@ def make_select_fn(intersector: str, accel=None):
             raise ValueError("intersector='kdtree' needs an accel: build "
                              "one with accel.build_kdtree_for_scene(scene)")
 
-        def kd(o, d, v0, e1, e2, eps, cull, tri_mask=None):
+        def kd(o, d, v0, e1, e2, eps, cull, tri_mask=None,
+               t_max=None, any_hit=False):
             from ..accel.traverse import kd_select
-            return kd_select(o, d, v0, e1, e2, eps, cull, tri_mask, accel)
+            idx, hit = kd_select(o, d, v0, e1, e2, eps, cull, tri_mask,
+                                 accel)
+            if t_max is not None:
+                # Window emulation for the parity backend: the winner's
+                # t decides (closest within window == closest if any is);
+                # refine reproduces the pre-r5 occlusion comparison.
+                t, _, _ = mt_refine(o, d, v0[idx], e1[idx], e2[idx], eps)
+                hit = hit & (t <= t_max)
+            if any_hit:
+                idx = jnp.zeros_like(idx)
+            return idx, hit
 
         return kd
     raise ValueError(intersector)

@@ -73,10 +73,18 @@ def mt_select_fast(
     eps: float,
     cull: bool,
     tri_mask: Optional[jnp.ndarray] = None,
+    t_max: Optional[jnp.ndarray] = None,      # (R,) inclusive t window
+    any_hit: bool = False,
 ):
     """Pure-VPU bilinear select: the same triple-product factorization as
     the MXU path but as broadcast elementwise ops — ~33 ops/pair vs ~55
     for classic Moller-Trumbore, no matmul intermediates.
+
+    The optional t_max window stays DIVISION-FREE: t <= t_max with
+    adet > 0 is t_num * s <= t_max * adet.  With any_hit=True (the
+    occlusion predicate, render.hpp:110-131) the (R, T) division, the
+    argmin and the min-reduce all disappear — the reduction is one
+    `any` over the accept mask.
 
     Numerically it differs from the classic formulation in the last ulps
     (the tvec subtraction is distributed over the products), so exact-tie
@@ -131,6 +139,10 @@ def mt_select_fast(
     ok &= t_num * s > eps * adet
     if tri_mask is not None:
         ok &= tri_mask[None, :]
+    if t_max is not None:
+        ok &= t_num * s <= t_max[:, None] * adet
+    if any_hit:
+        return (jnp.zeros(o.shape[0], jnp.int32), jnp.any(ok, axis=1))
 
     t_val = t_num / jnp.where(ok, det, 1.0)
     t_m = jnp.where(ok, t_val, BIG)
@@ -148,8 +160,13 @@ def mt_select_mxu(
     eps: float,
     cull: bool,
     tri_mask: Optional[jnp.ndarray] = None,
+    t_max: Optional[jnp.ndarray] = None,      # (R,) inclusive t window
+    any_hit: bool = False,
 ):
-    """Drop-in replacement for ops.intersect.mt_select on the MXU path."""
+    """Drop-in replacement for ops.intersect.mt_select on the MXU path.
+
+    t_max/any_hit as in mt_select_fast: a division-free inclusive window
+    on the numerators, and an any-reduce occlusion predicate."""
     r = o.shape[0]
     t = v0.shape[0]
     dtype = o.dtype
@@ -164,11 +181,16 @@ def mt_select_mxu(
     block = min(RAY_BLOCK, max(r, 1))
     r_pad = -(-r // block) * block
     feats = _ray_features(o, d)
+    tmax = (jnp.full((r,), BIG, dtype) if t_max is None
+            else t_max.astype(dtype))
     if r_pad != r:
         feats = jnp.pad(feats, ((0, r_pad - r), (0, 0)))
+        tmax = jnp.pad(tmax, (0, r_pad - r))   # pad window 0: no accepts
     feats = feats.reshape(r_pad // block, block, 10)
+    tmax = tmax.reshape(r_pad // block, block)
 
-    def one_block(f):
+    def one_block(args):
+        f, tm = args
         nums = jax.lax.dot_general(
             f, w_all, (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
@@ -191,11 +213,16 @@ def mt_select_mxu(
         ok &= t_num * s > eps * adet
         if mask is not None:
             ok &= mask
+        if t_max is not None:
+            ok &= t_num * s <= tm[:, None] * adet
+        if any_hit:
+            return (jnp.zeros(f.shape[0], jnp.int32),
+                    jnp.any(ok, axis=1))
         t_val = t_num / jnp.where(ok, det, 1.0)
         t_m = jnp.where(ok, t_val, big)
         best_idx = jnp.argmin(t_m, axis=1).astype(jnp.int32)
         best_t = jnp.min(t_m, axis=1)
         return best_idx, best_t < big
 
-    idx, hit = jax.lax.map(one_block, feats)
+    idx, hit = jax.lax.map(one_block, (feats, tmax))
     return idx.reshape(-1)[:r], hit.reshape(-1)[:r]

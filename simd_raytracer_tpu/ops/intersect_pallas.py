@@ -35,8 +35,8 @@ R_TILE = 512    # rays per block (sublane-major)
 T_TILE = 512    # triangles per block (lane-major)
 
 
-def _kernel(o_ref, d_ref, tri_ref, mask_ref, idx_out, hit_out,
-            best_t, best_i, *, eps: float, cull: bool):
+def _kernel(o_ref, d_ref, tmax_ref, tri_ref, mask_ref, idx_out, hit_out,
+            best_t, best_i, *, eps: float, cull: bool, any_hit: bool):
     j = pl.program_id(1)
     nt = pl.num_programs(1)
 
@@ -77,6 +77,19 @@ def _kernel(o_ref, d_ref, tri_ref, mask_ref, idx_out, hit_out,
     t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok &= t > eps
     ok &= mask_ref[0:1, :] > 0
+    if any_hit:
+        # Occlusion predicate (render.hpp:110-131): inclusive window,
+        # hit-ness only — the winner reduces to one `any` folded into
+        # the best_i scratch as a 0/IMAX flag.
+        ok &= t <= tmax_ref[:]
+        blk_hit = jnp.any(ok, axis=1, keepdims=True)
+        best_i[:] = jnp.where(blk_hit, 0, best_i[:])
+
+        @pl.when(j == nt - 1)
+        def _():
+            hit_out[:] = (best_i[:] == 0).astype(jnp.int32)
+            idx_out[:] = jnp.zeros_like(idx_out)
+        return
 
     t_m = jnp.where(ok, t, BIG)
     blk_t = jnp.min(t_m, axis=1, keepdims=True)                 # (R, 1)
@@ -94,17 +107,21 @@ def _kernel(o_ref, d_ref, tri_ref, mask_ref, idx_out, hit_out,
     @pl.when(j == nt - 1)
     def _():
         won = best_t[:] < BIG
+        # t_max without any_hit: closest hit must also sit inside the
+        # inclusive window (callers wanting the winner within range).
+        inwin = best_t[:] <= tmax_ref[:]
         idx_out[:] = jnp.where(won, best_i[:], 0)
-        hit_out[:] = won.astype(jnp.int32)
+        hit_out[:] = (won & inwin).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "cull", "interpret"))
-def _select_call(o, d, tri, mask, eps: float, cull: bool,
-                 interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("eps", "cull", "any_hit",
+                                             "interpret"))
+def _select_call(o, d, tmax, tri, mask, eps: float, cull: bool,
+                 any_hit: bool = False, interpret: bool = False):
     r = o.shape[0]
     t = tri.shape[1]
     grid = (pl.cdiv(r, R_TILE), pl.cdiv(t, T_TILE))
-    kern = functools.partial(_kernel, eps=eps, cull=cull)
+    kern = functools.partial(_kernel, eps=eps, cull=cull, any_hit=any_hit)
     idx, hit = pl.pallas_call(
         kern,
         grid=grid,
@@ -112,6 +129,8 @@ def _select_call(o, d, tri, mask, eps: float, cull: bool,
             pl.BlockSpec((R_TILE, 3), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R_TILE, 3), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R_TILE, 1), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((9, T_TILE), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -133,7 +152,7 @@ def _select_call(o, d, tri, mask, eps: float, cull: bool,
             pltpu.VMEM((R_TILE, 1), jnp.int32),
         ],
         interpret=interpret,
-    )(o, d, tri, mask)
+    )(o, d, tmax, tri, mask)
     return idx[:, 0], hit[:, 0]
 
 
@@ -145,10 +164,12 @@ def pack_triangles(v0, e1, e2):
 
 
 def mt_select_pallas(o, d, v0, e1, e2, eps, cull, tri_mask=None,
-                     interpret=None):
+                     t_max=None, any_hit=False, interpret=None):
     """Drop-in replacement for ops.intersect.mt_select on TPU.
 
-    Falls back to interpret mode automatically off-TPU (CPU tests).
+    t_max/any_hit follow the common select contract (inclusive window,
+    any-accepted-hit predicate).  Falls back to interpret mode
+    automatically off-TPU (CPU tests).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -159,6 +180,10 @@ def mt_select_pallas(o, d, v0, e1, e2, eps, cull, tri_mask=None,
         mask = jnp.ones((1, t), jnp.int32)
     else:
         mask = tri_mask.astype(jnp.int32).reshape(1, t)
+    if t_max is None:
+        tmax = jnp.full((r, 1), BIG, jnp.float32)
+    else:
+        tmax = t_max.astype(jnp.float32).reshape(r, 1)
     # pad rays to R_TILE multiple; triangles are already padded by the
     # scene builder (models/scene.py TRI_PAD), pad again defensively.
     rp = -(-r // R_TILE) * R_TILE
@@ -166,11 +191,13 @@ def mt_select_pallas(o, d, v0, e1, e2, eps, cull, tri_mask=None,
     if rp != r:
         o = jnp.pad(o, ((0, rp - r), (0, 0)))
         d = jnp.pad(d, ((0, rp - r), (0, 0)), constant_values=1.0)
+        tmax = jnp.pad(tmax, ((0, rp - r), (0, 0)))   # window 0: no hits
     if tp != t:
         tri = jnp.pad(tri, ((0, 0), (0, tp - t)))
         mask = jnp.pad(mask, ((0, 0), (0, tp - t)))
     o32 = o.astype(jnp.float32)
     d32 = d.astype(jnp.float32)
-    idx, hit = _select_call(o32, d32, tri, mask, float(eps), bool(cull),
+    idx, hit = _select_call(o32, d32, tmax, tri, mask, float(eps),
+                            bool(cull), any_hit=bool(any_hit),
                             interpret=bool(interpret))
     return idx[:r], hit[:r].astype(bool)

@@ -69,34 +69,38 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
 
     if cfg.occlusion_mode == "fast":
         # Transmissive surfaces never occlude and only re-originate the
-        # march past themselves, so the first *non-transmissive* hit decides.
+        # march past themselves, so the first *non-transmissive* hit
+        # decides.  Every backend implements the any-hit contract: an
+        # INCLUSIVE t <= max_t window (the reference's `t <= max_t`,
+        # render.hpp:121) and a pure hit predicate — brute backends drop
+        # the argmin/min (and `fast`/`mxu` the (R, T) division) for one
+        # `any` reduce; the sweep kernel seeds its running winner with
+        # the light distance so slices beyond it cull and decided rays
+        # take the early exit; no winner gather, no refine.
         mask = geom.tri_valid & ~geom.tri_transmissive
-        if cfg.intersector == "sweep":
-            # Occlusion is a pure predicate: seed the sweep's running
-            # winner with the light distance (slices beyond it cull) and
-            # stop each ray at its first accepted hit.  The window is
-            # inclusive (t <= max_t occludes, via the kernel's tie-break
-            # against the seed), same as the check below and the
-            # reference's `t <= max_t` (render.hpp:121).
-            _, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False,
-                            mask, t_max=max_t, any_hit=True)
-            return hit
-        idx, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False, mask)
-        t, _, _ = mt_refine(o, d, geom.v0[idx], geom.e1[idx], geom.e2[idx],
-                            eps)
-        return hit & (t <= max_t)
+        _, hit = select(o, d, geom.v0, geom.e1, geom.e2, eps, False,
+                        mask, t_max=max_t, any_hit=True)
+        return hit
 
-    # "march": faithful iterative replication.  One hop is paid at full
-    # wavefront width (every ray needs at least one query); rays still
-    # undecided after it — shadow rays that crossed a transmissive
-    # surface with budget left, typically a few percent — continue in a
-    # COMPACTED while_loop so the remaining hops cost a fraction of a
-    # full select instead of up to max_shadow_march-1 of them.
+    # "march": faithful iterative replication (render.hpp:110-131) paid
+    # only where it can differ from the windowed any-hit predicate.  Two
+    # cheap any-hit probes over the same ray set — solid triangles and
+    # transmissive ones (XLA CSEs the shared Moller-Trumbore pair grid;
+    # only the masks and reduces differ) — decide most rays outright: a
+    # ray with NO transmissive intersection inside its window never
+    # re-originates, so its march result IS the solid predicate,
+    # exactly.  Only rays that crossed glass (where re-origination, the
+    # hop cap, or accumulated shadow_bias can change the answer) run
+    # the real hop loop, compacted narrow.
     n = o.shape[0]
 
     def march_hop(o_cur, d_cur, mt_cur, undecided):
+        # The remaining budget doubles as the select window: the closest
+        # hit within it is the closest hit overall whenever one exists,
+        # and backends with real windows (sweep slice culling, the
+        # division-free numerator test in fast/mxu) get to prune.
         idx, hit = select(o_cur, d_cur, geom.v0, geom.e1, geom.e2,
-                          eps, False, geom.tri_valid)
+                          eps, False, geom.tri_valid, t_max=mt_cur)
         t, _, _ = mt_refine(o_cur, d_cur, geom.v0[idx], geom.e1[idx],
                             geom.e2[idx], eps)
         transmissive = geom.tri_transmissive[idx]
@@ -109,11 +113,6 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
         mt_next = jnp.where(cont, mt_cur - t, mt_cur)
         # Loop guard `while (0 < max_t)` (render.hpp:115).
         return occ_now, o_next, mt_next, cont & (mt_next > 0.0)
-
-    occ, o1, mt1, undecided = march_hop(o, d, max_t,
-                                        jnp.ones(n, bool))
-    if cfg.max_shadow_march <= 1:
-        return occ
 
     def rest(o_c, d_c, mt_c, und_c):
         def cond(state):
@@ -130,34 +129,52 @@ def occluded(o: jnp.ndarray, d: jnp.ndarray, max_t: jnp.ndarray,
                 jnp.zeros(o_c.shape[0], bool), und_c)
         return jax.lax.while_loop(cond, body, init)[3]
 
-    if not cfg.bounce_skip:
-        return occ | rest(o1, d, mt1, undecided)
+    def march_full(o_c, d_c, mt_c, und_c):
+        occ1, o1, mt1, und1 = march_hop(o_c, d_c, mt_c, und_c)
+        if cfg.max_shadow_march <= 1:
+            return occ1
+        return occ1 | rest(o1, d_c, mt1, und1)
 
-    # Tiered narrow continuation (same dispatch pattern + sort-outside-
-    # conds invariant as shade's shadow compaction below).
-    n_und = jnp.sum(undecided)
+    if not cfg.bounce_skip:
+        # Cond-free graph (the XLA:CPU shard_map workaround,
+        # config.py::bounce_skip): the classic full-width march.
+        return march_full(o, d, max_t, jnp.ones(n, bool))
+
+    solid = geom.tri_valid & ~geom.tri_transmissive
+    glass = geom.tri_valid & geom.tri_transmissive
+    _, occ_solid = select(o, d, geom.v0, geom.e1, geom.e2, eps, False,
+                          solid, t_max=max_t, any_hit=True)
+    _, crossed = select(o, d, geom.v0, geom.e1, geom.e2, eps, False,
+                        glass, t_max=max_t, any_hit=True)
+
+    # Tiered narrow march over the glass-crossing rays (same dispatch
+    # pattern + sort-outside-conds invariant as shade's shadow
+    # compaction below).  Scenes without transmissive geometry skip the
+    # march entirely via the n_crossed == 0 cond.
+    n_crossed = jnp.sum(crossed)
     caps = ([c for c in (n // 8, n // 2) if 0 < c < n]
             if cfg.shadow_compact else []) + [n]
-    order = (jnp.argsort(~undecided, stable=True) if len(caps) > 1
+    order = (jnp.argsort(~crossed, stable=True) if len(caps) > 1
              else jnp.arange(n))
 
-    def rest_at(cap):
+    def march_at(cap):
         if cap == n:
-            return rest(o1, d, mt1, undecided)
+            return march_full(o, d, max_t, crossed)
         idx = order[:cap]
-        occ_c = rest(o1[idx], d[idx], mt1[idx], undecided[idx])
+        occ_c = march_full(o[idx], d[idx], max_t[idx], crossed[idx])
         return jnp.zeros(n, bool).at[idx].set(occ_c)
 
     def dispatch(tiers):
         cap = tiers[0]
         if len(tiers) == 1:
-            return rest_at(cap)
-        return jax.lax.cond(n_und <= cap, lambda: rest_at(cap),
+            return march_at(cap)
+        return jax.lax.cond(n_crossed <= cap, lambda: march_at(cap),
                             lambda: dispatch(tiers[1:]))
 
-    more = jax.lax.cond(n_und == 0, lambda: jnp.zeros(n, bool),
-                        lambda: dispatch(caps))
-    return occ | more
+    occ_march = jax.lax.cond(n_crossed == 0,
+                             lambda: jnp.zeros(n, bool),
+                             lambda: dispatch(caps))
+    return jnp.where(crossed, occ_march, occ_solid)
 
 
 def direct_light_factor(scene: Scene, geom: Geometry, hit: HitRecord,
