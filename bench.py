@@ -260,11 +260,12 @@ def phase_mesh(args):
         raise SystemExit(f"mesh size {nd} > {len(jax.devices())} "
                          f"available {jax.default_backend()} devices")
     mesh = make_mesh(nd)
-    _force(render_frame_sharded(scene, cfg, mesh))
+    accel = _build_accel(scene, cfg.intersector)   # sweep/kdtree need it
+    _force(render_frame_sharded(scene, cfg, mesh, accel=accel))
     reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
-        _force(render_frame_sharded(scene, cfg, mesh))
+        _force(render_frame_sharded(scene, cfg, mesh, accel=accel))
     dt = (time.perf_counter() - t0) / reps
     return {"mesh_devices": nd, "mesh_rays_per_sec": round(rays / dt, 1),
             "mesh_backend": jax.default_backend()}

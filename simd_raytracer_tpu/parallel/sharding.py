@@ -124,6 +124,10 @@ def _render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh: Mesh,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=P(DATA_AXIS),
+        # jax.shard_map defaults check_vma=True, which rejects the
+        # pallas_call out_shapes inside the sweep select (no vma field);
+        # False matches the legacy experimental shard_map semantics.
+        check_vma=False,
     )(scene, key, ids, seeds, accel)
 
     h, w, spp = scene.height, scene.width, cfg.samples_per_pixel
@@ -171,4 +175,5 @@ def train_step_sharded(params, skeleton: Scene, cfg: RenderConfig,
         shard_fn, mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(P(), P()),
+        check_vma=False,   # see render_frame_sharded
     )(params, skeleton, ids, target, seeds, accel)
