@@ -43,10 +43,14 @@ def run_gi(spp: int, depth: int = 5) -> None:
     from simd_raytracer_tpu import RenderConfig, parse_scene_file
     from simd_raytracer_tpu.utils.checkpoint import render_progressive
 
+    from simd_raytracer_tpu.accel.sweep import build_sweep_for_scene
+
     scene = parse_scene_file(f"{SCENES}/hw15/scene2.crtscene")
+    # sweep overtook fast on this scene in r4/r5 (BENCH.md §3)
     cfg = RenderConfig(samples_per_pixel=spp, max_ray_depth=depth,
                        diffuse_reflection_ray_count=1,
-                       intersector="fast", bounce_mode="roulette")
+                       intersector="sweep", bounce_mode="roulette")
+    accel = build_sweep_for_scene(scene)
     ckpt = os.path.join(OUT, f"gi_{spp}spp_{depth}.ckpt.npz")
     legacy = os.path.join(OUT, f"gi_{spp}spp.ckpt.npz")   # pre-r4 name
     if depth == 5 and not os.path.exists(ckpt) and os.path.exists(legacy):
@@ -54,7 +58,7 @@ def run_gi(spp: int, depth: int = 5) -> None:
     t0 = time.time()
     img = render_progressive(
         scene, cfg, total_spp=spp, spp_per_batch=8,
-        checkpoint_path=ckpt,
+        checkpoint_path=ckpt, accel=accel,
         on_batch=lambda done, _: print(f"  {done}/{spp} spp "
                                        f"({time.time()-t0:.0f}s)",
                                        flush=True))

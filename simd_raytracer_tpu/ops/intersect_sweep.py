@@ -146,17 +146,43 @@ def _mt_merge(o, d, tri, gid, mask, best_t, best_i, *, eps, cull, any_hit):
         ok = det > eps
     else:
         ok = jnp.abs(det) > eps
-    inv_det = 1.0 / jnp.where(ok, det, 1.0)
 
     tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-    u = (tvx * px + tvy * py + tvz * pz) * inv_det
-    ok &= (u >= 0.0) & (u <= 1.0)
+    u_num = tvx * px + tvy * py + tvz * pz
     qx = tvy * e1z - tvz * e1y
     qy = tvz * e1x - tvx * e1z
     qz = tvx * e1y - tvy * e1x
-    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    v_num = dx * qx + dy * qy + dz * qz
+    t_num = e2x * qx + e2y * qy + e2z * qz
+
+    if any_hit:
+        # Occlusion predicate: division-free accepts on the numerators
+        # (u in [0,1] <=> 0 <= u_num*s <= |det|, etc. — same algebra as
+        # mt_select_fast) and ONE any-reduce instead of the min/tie
+        # merge.  The inclusive t <= t_max window tests against best_t,
+        # which any_hit keeps parked at the ray's original t_max until
+        # the ray decides (then -1, making every later test false).
+        s = jnp.where(det >= 0.0, 1.0, -1.0)
+        adet = det * s
+        us = u_num * s
+        vs = v_num * s
+        ts = t_num * s
+        ok &= (us >= 0.0) & (us <= adet)
+        ok &= (vs >= 0.0) & (us + vs <= adet)
+        ok &= ts > eps * adet
+        ok &= ts <= best_t * adet                          # (R,1)*(R,T)
+        ok &= mask > 0
+        dec = jnp.any(ok, axis=1, keepdims=True) & (best_i == IMAX)
+        new_t = jnp.where(dec, -1.0, best_t)
+        new_i = jnp.where(dec, 0, best_i)
+        return new_t, new_i
+
+    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+    u = u_num * inv_det
+    ok &= (u >= 0.0) & (u <= 1.0)
+    v = v_num * inv_det
     ok &= (v >= 0.0) & (u + v <= 1.0)
-    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+    t = t_num * inv_det
     ok &= t > eps
     ok &= mask > 0                                         # (1, T)
 
@@ -173,10 +199,6 @@ def _mt_merge(o, d, tri, gid, mask, best_t, best_i, *, eps, cull, any_hit):
            | ((blk_t == best_t) & (blk_i < best_i))) & (blk_t < BIG)
     new_t = jnp.where(upd, blk_t, best_t)
     new_i = jnp.where(upd, blk_i, best_i)
-    if any_hit:
-        # Occlusion only needs the predicate: best_t = -1 sits below
-        # every genuine t (> eps), so a decided ray never updates again.
-        new_t = jnp.where(new_i != IMAX, -1.0, new_t)
     return new_t, new_i
 
 

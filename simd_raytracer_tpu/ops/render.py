@@ -36,6 +36,7 @@ import numpy as np
 from ..config import RenderConfig
 from ..models.camera import primary_rays
 from ..models.scene import Geometry, Scene, derive_geometry
+from .compact import alive_first_order, scatter_rows
 from .intersect import trace
 from .shade import shade
 
@@ -137,6 +138,26 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
                 jnp.tile(w_ * 0.0, k),
                 jnp.tile(bgm & False, k))
 
+        # The r5 split fast path (column scatters, cumsum partition,
+        # quarter-width tier) is TPU-only: the constructs measured 9x /
+        # 60x / 4x wins there (BENCH.md 2b) but ~2x LOSSES inside
+        # roulette frames, and composing them into the big XLA:CPU
+        # split graphs heap-corrupts the process (compiler segfault
+        # ~100 tests into the suite, bisected r5) — the same bug family
+        # as the shard_map cond corruption behind config.bounce_skip.
+        # CPU keeps the pre-r5 graphs bit-for-bit.
+        split_fast = (cfg.bounce_mode == "split"
+                      and jax.default_backend() == "tpu")
+
+        def _scatter3(n, idx, vals, fills=(0.0, 0.0, 0.0)):
+            if split_fast:
+                return scatter_rows(n, idx, vals, fills=fills)
+            out = jnp.zeros((n, 3), vals.dtype)
+            for col, fill in enumerate(fills):
+                if fill != 0.0:
+                    out = out.at[:, col].set(fill)
+            return out.at[idx].set(vals)
+
         def bounce_compact(args, cap, order):
             # Exact compaction (roulette): when the live set fits in cap
             # slots, gather it (per-slot RNG travels with the ray, so
@@ -149,13 +170,12 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
             idx = order[:cap]
             sub = tuple(a[idx] for a in args)
             contrib_c, (oc, dc, wc, bgc) = bounce_body(sub)
-            contrib = jnp.zeros((n, 3), dtype).at[idx].set(contrib_c)
+            contrib = _scatter3(n, idx, contrib_c)
             if last:
                 return contrib, args[:4]
             cidx = (idx[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
-            o2 = jnp.zeros((n * k, 3), dtype).at[cidx].set(oc)
-            d2 = (jnp.zeros((n * k, 3), dtype).at[:, 2].set(-1.0)
-                  .at[cidx].set(dc))
+            o2 = _scatter3(n * k, cidx, oc)
+            d2 = _scatter3(n * k, cidx, dc, fills=(0.0, 0.0, -1.0))
             w2 = jnp.zeros((n * k,), dtype).at[cidx].set(wc)
             bg2 = jnp.zeros((n * k,), bool).at[cidx].set(bgc)
             return contrib, (o2, d2, w2, bg2)
@@ -187,16 +207,14 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
                                     bounce_skip, seg)
 
             contrib_s, children_s = jax.lax.map(seg_fn, seg_in)
-            contrib = (jnp.zeros((n, 3), dtype)
-                       .at[order].set(contrib_s.reshape(n, 3)))
+            contrib = _scatter3(n, order, contrib_s.reshape(n, 3))
             if last:
                 return contrib, args[:4]
             cidx = (order[:, None] * k + jnp.arange(k)[None, :]).reshape(-1)
             oc, dc, wc, bgc = (a.reshape((n * k,) + a.shape[2:])
                                for a in children_s)
-            o2 = jnp.zeros((n * k, 3), dtype).at[cidx].set(oc)
-            d2 = (jnp.zeros((n * k, 3), dtype).at[:, 2].set(-1.0)
-                  .at[cidx].set(dc))
+            o2 = _scatter3(n * k, cidx, oc)
+            d2 = _scatter3(n * k, cidx, dc, fills=(0.0, 0.0, -1.0))
             w2 = jnp.zeros((n * k,), dtype).at[cidx].set(wc)
             bg2 = jnp.zeros((n * k,), bool).at[cidx].set(bgc)
             return contrib, (o2, d2, w2, bg2)
@@ -220,24 +238,52 @@ def render_chunk(scene: Scene, geom: Geometry, cfg: RenderConfig,
                 cap = min(r0, n_cur)
             if 0 < cap < n_cur and n_cur % cap == 0:
                 alive_n = jnp.sum(weight > 0.0)
-                # sorted OUTSIDE the conds (sort inside a differentiated
-                # cond branch heap-corrupts XLA:CPU under shard_map);
-                # both the compact and the segmented-overflow branch
-                # consume the same alive-first permutation.
-                order = jnp.argsort(~(weight > 0.0), stable=True)
+                # Permutation computed OUTSIDE the conds (a sort inside
+                # a differentiated cond branch heap-corrupts XLA:CPU
+                # under shard_map); the compact tiers and the
+                # segmented-overflow branch all consume the same
+                # alive-first permutation.  cumsum-partition beats the
+                # bitonic argsort 60x at split's grown widths but
+                # measured ~70% SLOWER inside the roulette frame at r0
+                # width (XLA lowers the permutation scatter worse in
+                # that fusion context) — pick per mode, like _scatter3.
+                alive_mask = weight > 0.0
+                if split_fast:
+                    order = alive_first_order(alive_mask)
+                else:
+                    order = jnp.argsort(~alive_mask, stable=True)
                 if cfg.bounce_mode == "roulette":
                     overflow_fn = bounce_body
                 else:
                     overflow_fn = functools.partial(bounce_segmented,
                                                     cap=cap, order=order)
+                # Tiered widths: split's live set (only refractive hits
+                # branch; with gi=0 only mirror/glass paths survive) is
+                # usually far below its r0 cap — a quarter-width tier
+                # cuts those bounces 4x (hw15 glass chunks: ~2k live in
+                # a 16384 cap).  Roulette's cap is already n/4; its live
+                # sets rarely fit a deeper tier, so the extra compiled
+                # width is pure cost there (measured r5).
+                if split_fast:
+                    tiers = [t for t in (cap // 4, cap) if 0 < t < n_cur]
+                else:
+                    tiers = [cap]
+                tiers = sorted(set(tiers))
+
+                def dispatch(ts, a):
+                    t = ts[0]
+                    comp = functools.partial(bounce_compact, cap=t,
+                                             order=order)
+                    if len(ts) == 1:
+                        return jax.lax.cond(alive_n <= t, comp,
+                                            overflow_fn, a)
+                    return jax.lax.cond(alive_n <= t, comp,
+                                        functools.partial(dispatch,
+                                                          ts[1:]), a)
+
                 contrib, (o, d, weight, miss_bg) = jax.lax.cond(
                     alive_n == 0, bounce_skip,
-                    lambda a: jax.lax.cond(
-                        alive_n <= cap,
-                        functools.partial(bounce_compact, cap=cap,
-                                          order=order),
-                        overflow_fn, a),
-                    args)
+                    functools.partial(dispatch, tiers), args)
             else:
                 contrib, (o, d, weight, miss_bg) = jax.lax.cond(
                     jnp.any(weight > 0.0), bounce_body, bounce_skip, args)
@@ -278,8 +324,17 @@ def _render_image(scene: Scene, cfg: RenderConfig,
     total = h * w * spp
     geom = derive_geometry(scene)
 
-    sample_bytes = ids.shape[0] * ids.shape[1] * 3 * 4
-    if sample_bytes <= 1 << 30:
+    # XLA:TPU pads the minor dim of the (rays, 3) sample buffer to 128
+    # lanes — a 42x memory blowup (a 1920^2 x 8spp buffer is 338 MB
+    # unpadded but 14 GB padded, OOMing the 16 GB HBM, r5).  Budget the
+    # PADDED size on TPU; the unpadded size elsewhere.
+    if jax.default_backend() == "tpu":
+        sample_bytes = ids.shape[0] * ids.shape[1] * 128 * 4
+        limit = 2 << 30
+    else:
+        sample_bytes = ids.shape[0] * ids.shape[1] * 3 * 4
+        limit = 1 << 30
+    if sample_bytes <= limit:
         # Small sample buffer: the map + per-pixel reshape-sum is ~15%
         # faster than the scatter-add scan.
         colors = _render_ids.__wrapped__(scene, cfg, ids, keys, accel)

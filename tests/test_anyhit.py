@@ -125,3 +125,27 @@ def test_sweep_and_kdtree_any_hit_on_scene(tmp_path):
         got = occluded(o, d, tmax, scene, geom, cfg, accel=accel)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
                                       err_msg=name)
+
+
+def test_alive_first_order_matches_stable_argsort():
+    from simd_raytracer_tpu.ops.compact import alive_first_order
+    for seed, n in [(0, 64), (1, 513), (2, 4096)]:
+        mask = jax.random.bernoulli(jax.random.PRNGKey(seed), 0.3, (n,))
+        ref = jnp.argsort(~mask, stable=True)
+        got = alive_first_order(mask)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # all-dead and all-alive edges
+    for mask in (jnp.zeros(17, bool), jnp.ones(17, bool)):
+        np.testing.assert_array_equal(
+            np.asarray(alive_first_order(mask)),
+            np.asarray(jnp.argsort(~mask, stable=True)))
+
+
+def test_scatter_rows_matches_row_scatter():
+    from simd_raytracer_tpu.ops.compact import scatter_rows
+    k = jax.random.PRNGKey(3)
+    vals = jax.random.uniform(k, (100, 3))
+    idx = jax.random.permutation(k, 4096)[:100]
+    ref = (jnp.zeros((4096, 3)).at[:, 2].set(-1.0)).at[idx].set(vals)
+    got = scatter_rows(4096, idx, vals, fills=(0.0, 0.0, -1.0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
