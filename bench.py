@@ -443,6 +443,11 @@ def main() -> int:
     signal.signal(signal.SIGTERM, _on_signal)
     signal.signal(signal.SIGINT, _on_signal)
 
+    # Per-phase overrides: fwd+bwd throughput grows with batch size
+    # (677.7k/715.1k/760.9k rays/s at 16k/32k/64k, BENCH.md §1) while
+    # render phases LOSE at bigger chunks (coarser compaction) — the
+    # backward phase gets its own measured-best chunk.
+    extra = {"backward": ["--chunk", "65536"]}
     for ph in phases:
         remaining = deadline - time.time()
         floor = 300 if ph == "northstar" else 45
@@ -450,7 +455,7 @@ def main() -> int:
             sys.stderr.write(f"[phase {ph} skipped: {remaining:.0f}s "
                              "of budget left]\n")
             continue
-        proc = subprocess.Popen(base + ["--_phase", ph],
+        proc = subprocess.Popen(base + extra.get(ph, []) + ["--_phase", ph],
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE, text=True)
         try:
